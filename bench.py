@@ -1,0 +1,73 @@
+"""Headline benchmark: aggregate env-steps/s, vectorized DoorKey-8x8.
+
+The BASELINE.json metric: 4096 lockstep envs with auto-reset, symbolic
+partial obs generated every step, random actions, whole rollout under one
+jitted lax.scan on device.  Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+import minigrid_tpu
+from minigrid_tpu.parallel.vector import VectorEnv
+
+NUM_ENVS = 4096
+NUM_STEPS = 256
+BASELINE_TARGET = 10_000_000.0  # env-steps/s north star (BASELINE.md)
+
+
+def main() -> None:
+    env = minigrid_tpu.make("MiniGrid-DoorKey-8x8-v0")
+    params = env.default_params
+    venv = VectorEnv(env, NUM_ENVS, params)
+
+    @jax.jit
+    def run(key):
+        key, k_reset = jax.random.split(key)
+        obs, state = venv._reset(k_reset)
+
+        def body(carry, k):
+            obs, state = carry
+            action = jax.random.randint(
+                k, (NUM_ENVS,), 0, env.num_actions, dtype=jnp.int32
+            )
+            new_obs, new_state, reward, term, trunc, _ = venv._step(state, action)
+            return (new_obs, new_state), (reward, term)
+
+        keys = jax.random.split(key, NUM_STEPS)
+        (_, state), (rewards, terms) = jax.lax.scan(body, (obs, state), keys)
+        # Reduce on device; only two scalars cross to the host.
+        return jnp.sum(rewards), jnp.sum(terms)
+
+    # Compile (excluded from timing).
+    r, t = run(jax.random.PRNGKey(0))
+    jax.block_until_ready((r, t))
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        r, t = run(jax.random.PRNGKey(i + 1))
+        jax.block_until_ready((r, t))
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    steps_per_sec = NUM_ENVS * NUM_STEPS / best
+    print(
+        json.dumps(
+            {
+                "metric": "env_steps_per_sec (4096 envs, DoorKey-8x8, auto-reset)",
+                "value": round(steps_per_sec),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / BASELINE_TARGET, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Functional grid-construction ops.
+
+The reference builds levels by mutating a Grid object (wall builders
+grid.py:80-108, ``put_obj``/``place_obj`` minigrid_env.py:312-380).  Here every
+builder is a pure array op.  Positions are often *traced* values (sampled with
+``jax.random``), so line/rect builders are expressed as coordinate-mask
+``where`` writes instead of Python-loop scatters.
+
+``place_obj``'s rejection-sampling loop (minigrid_env.py:338-363) is replaced
+by its statistical fixed point: a single masked-categorical draw uniform over
+currently-free cells.  One RNG draw, no divergence across a vmapped batch, and
+identical distribution whenever the reject region is static (exact RNG-stream
+parity with numpy lives in the host-side parity generators instead).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from minigrid_tpu.core import constants as C
+
+_EMPTY = jnp.asarray(C.EMPTY_TRIPLE)
+_WALL = jnp.asarray(C.WALL_TRIPLE)
+_EMPTY_T = C.OBJECT_TO_IDX["empty"]
+
+
+def coords(width: int, height: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Broadcast (W, H) x / y index planes."""
+    xs = jax.lax.broadcasted_iota(jnp.int32, (width, height), 0)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (width, height), 1)
+    return xs, ys
+
+
+def set_where(grid: jnp.ndarray, mask: jnp.ndarray, triple: jnp.ndarray) -> jnp.ndarray:
+    """Write `triple` at every cell where mask is True."""
+    return jnp.where(mask[..., None], jnp.asarray(triple, dtype=jnp.uint8), grid)
+
+
+def put(grid: jnp.ndarray, x, y, triple) -> jnp.ndarray:
+    """put_obj (minigrid_env.py:373-380) — single-cell write, dynamic coords ok."""
+    return grid.at[x, y].set(jnp.asarray(triple, dtype=jnp.uint8))
+
+
+def horz_wall(grid: jnp.ndarray, x, y, length=None, triple=None) -> jnp.ndarray:
+    """grid.horz_wall (grid.py:80-90); length=None -> to the right edge."""
+    w, h = grid.shape[:2]
+    if length is None:
+        length = w - x
+    triple = _WALL if triple is None else triple
+    xs, ys = coords(w, h)
+    mask = (ys == y) & (xs >= x) & (xs < x + length)
+    return set_where(grid, mask, triple)
+
+
+def vert_wall(grid: jnp.ndarray, x, y, length=None, triple=None) -> jnp.ndarray:
+    """grid.vert_wall (grid.py:92-102); length=None -> to the bottom edge."""
+    w, h = grid.shape[:2]
+    if length is None:
+        length = h - y
+    triple = _WALL if triple is None else triple
+    xs, ys = coords(w, h)
+    mask = (xs == x) & (ys >= y) & (ys < y + length)
+    return set_where(grid, mask, triple)
+
+
+def wall_rect(grid: jnp.ndarray, x, y, rw, rh, triple=None) -> jnp.ndarray:
+    """grid.wall_rect (grid.py:104-108) — rectangle outline of walls."""
+    w, h = grid.shape[:2]
+    triple = _WALL if triple is None else triple
+    xs, ys = coords(w, h)
+    inside = (xs >= x) & (xs < x + rw) & (ys >= y) & (ys < y + rh)
+    border = inside & (
+        (xs == x) | (xs == x + rw - 1) | (ys == y) | (ys == y + rh - 1)
+    )
+    return set_where(grid, border, triple)
+
+
+def is_empty(grid: jnp.ndarray) -> jnp.ndarray:
+    """(W, H) mask of cells encoding None (grid.py:261: empty == (1, 0, 0))."""
+    return grid[..., 0] == _EMPTY_T
+
+
+def rect_mask(
+    width: int, height: int, top: tuple, size: tuple
+) -> jnp.ndarray:
+    """Mask of the place_obj search rectangle (minigrid_env.py:328-349):
+    top clamped at 0, extent clamped to the grid."""
+    xs, ys = coords(width, height)
+    tx = jnp.maximum(jnp.asarray(top[0], jnp.int32), 0)
+    ty = jnp.maximum(jnp.asarray(top[1], jnp.int32), 0)
+    return (
+        (xs >= tx)
+        & (xs < jnp.minimum(tx + size[0], width))
+        & (ys >= ty)
+        & (ys < jnp.minimum(ty + size[1], height))
+    )
+
+
+def sample_cell(key: jnp.ndarray, mask: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Uniform draw over True cells of a (W, H) mask.
+
+    Returns (pos int32[2], ok bool).  ok is False when the mask is empty (the
+    analogue of place_obj exhausting max_tries, minigrid_env.py:341-342) — in
+    that case pos is (0, 0) and callers must mask out the write.
+    """
+    w, h = mask.shape
+    flat = mask.reshape(-1)
+    any_valid = jnp.any(flat)
+    logits = jnp.where(flat, 0.0, -jnp.inf)
+    # Guard the all-invalid case so categorical never sees all -inf.
+    logits = jnp.where(any_valid, logits, jnp.zeros_like(logits))
+    idx = jax.random.categorical(key, logits)
+    pos = jnp.stack([idx // h, idx % h]).astype(jnp.int32)
+    return jnp.where(any_valid, pos, jnp.zeros_like(pos)), any_valid
+
+
+def place_obj(
+    key: jnp.ndarray,
+    grid: jnp.ndarray,
+    triple,
+    agent_pos: jnp.ndarray | None = None,
+    top: tuple = (0, 0),
+    size: tuple | None = None,
+    reject_mask: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """place_obj (minigrid_env.py:312-371) as one masked draw.
+
+    Placement is uniform over cells that are empty, not the agent's, inside
+    the (top, size) rectangle, and not rejected.  Returns (grid', pos, ok).
+    Pass triple=None to reserve a cell without writing (place_agent path,
+    minigrid_env.py:382-394).
+    """
+    w, h = grid.shape[:2]
+    if size is None:
+        size = (w, h)
+    mask = is_empty(grid) & rect_mask(w, h, top, size)
+    if agent_pos is not None:
+        xs, ys = coords(w, h)
+        mask &= ~((xs == agent_pos[0]) & (ys == agent_pos[1]))
+    if reject_mask is not None:
+        mask &= ~reject_mask
+    pos, ok = sample_cell(key, mask)
+    if triple is not None:
+        cell = jnp.where(ok, jnp.asarray(triple, dtype=jnp.uint8), grid[pos[0], pos[1]])
+        grid = grid.at[pos[0], pos[1]].set(cell)
+    return grid, pos, ok

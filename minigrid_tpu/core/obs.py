@@ -1,0 +1,133 @@
+"""Egocentric partial-observation kernel.
+
+The reference pipeline (``minigrid/minigrid_env.py:594-651``) is
+slice -> rotate_left x (dir+1) -> process_vis -> carried-object overlay ->
+encode.  Slice and rotation (grid.py:110-143) collapse here into ONE fused
+gather: for view cell (vi, vj) the world coordinate is
+
+    world = agent_pos + f_vec * (V-1-vj) + r_vec * (vi - V//2)
+
+(the inverse of ``get_view_coords``, minigrid_env.py:425-450), with
+out-of-bounds cells reading as grey walls (grid.py:139).  The shadow-casting
+occlusion sweep ``process_vis`` (grid.py:291-328) is a short unrolled scanline
+program over the static V×V view — all tensor ops, so the whole obs pipeline
+vmaps over the env batch and fuses under jit.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from minigrid_tpu.core import constants as C
+from minigrid_tpu.core.state import EnvParams, EnvState
+
+_DIR_TO_VEC = jnp.asarray(C.DIR_TO_VEC)
+_SEE_BEHIND = jnp.asarray(C.SEE_BEHIND)
+_WALL = jnp.asarray(C.WALL_TRIPLE)
+_EMPTY = jnp.asarray(C.EMPTY_TRIPLE)
+_DOOR = C.OBJECT_TO_IDX["door"]
+_EMPTY_T = C.OBJECT_TO_IDX["empty"]
+
+
+def view_world_coords(
+    agent_pos: jnp.ndarray, agent_dir: jnp.ndarray, view_size: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """World (x, y) for every view cell; shapes (V, V) each, indexed [vi, vj].
+
+    The agent sits at view cell (V//2, V-1) facing 'up' the view
+    (minigrid_env.py:615, 623)."""
+    v = view_size
+    f = _DIR_TO_VEC[agent_dir]  # forward
+    r = jnp.stack([-f[1], f[0]])  # right (minigrid_env.py:409-415)
+    vi = jnp.arange(v, dtype=jnp.int32)[:, None]  # (V, 1)
+    vj = jnp.arange(v, dtype=jnp.int32)[None, :]  # (1, V)
+    wx = agent_pos[0] + f[0] * (v - 1 - vj) + r[0] * (vi - v // 2)
+    wy = agent_pos[1] + f[1] * (v - 1 - vj) + r[1] * (vi - v // 2)
+    return wx, wy
+
+
+def gather_view(
+    grid: jnp.ndarray,
+    agent_pos: jnp.ndarray,
+    agent_dir: jnp.ndarray,
+    view_size: int,
+) -> jnp.ndarray:
+    """Extract the rotated egocentric V×V×3 window (slice+rotate fused)."""
+    w, h, _ = grid.shape
+    wx, wy = view_world_coords(agent_pos, agent_dir, view_size)
+    oob = (wx < 0) | (wx >= w) | (wy < 0) | (wy >= h)
+    cells = grid[jnp.clip(wx, 0, w - 1), jnp.clip(wy, 0, h - 1)]
+    return jnp.where(oob[..., None], _WALL, cells)
+
+
+def see_behind(cells: jnp.ndarray) -> jnp.ndarray:
+    """Transparency of (..., 3) cell triples: per-type table + open-door rule
+    (world_object.py:59-61, 210-211, 226-227)."""
+    t = cells[..., 0].astype(jnp.int32)
+    s = cells[..., 2].astype(jnp.int32)
+    return _SEE_BEHIND[t] & ((t != _DOOR) | (s == C.STATE_TO_IDX["open"]))
+
+
+def process_vis(cells: jnp.ndarray, view_size: int) -> jnp.ndarray:
+    """Occlusion mask over the V×V view; agent at (V//2, V-1).
+
+    Faithful tensorization of Grid.process_vis (grid.py:291-328): rows are
+    processed bottom-up; within a row a left-to-right then right-to-left
+    propagation runs, each visible transparent cell lighting its lateral
+    neighbor and the two cells diagonally/straight ahead (row j-1).  The
+    in-row recurrences are unrolled (V is a small static constant), producing
+    pure vectorized selects that batch cleanly under vmap.
+    """
+    v = view_size
+    see = see_behind(cells)  # (V, V) bool, [i, j]
+    mask = jnp.zeros((v, v), dtype=bool).at[v // 2, v - 1].set(True)
+
+    for j in range(v - 1, -1, -1):
+        # left-to-right pass (grid.py:297-308)
+        for i in range(0, v - 1):
+            prop = mask[i, j] & see[i, j]
+            mask = mask.at[i + 1, j].set(mask[i + 1, j] | prop)
+            if j > 0:
+                mask = mask.at[i + 1, j - 1].set(mask[i + 1, j - 1] | prop)
+                mask = mask.at[i, j - 1].set(mask[i, j - 1] | prop)
+        # right-to-left pass (grid.py:310-321)
+        for i in range(v - 1, 0, -1):
+            prop = mask[i, j] & see[i, j]
+            mask = mask.at[i - 1, j].set(mask[i - 1, j] | prop)
+            if j > 0:
+                mask = mask.at[i - 1, j - 1].set(mask[i - 1, j - 1] | prop)
+                mask = mask.at[i, j - 1].set(mask[i, j - 1] | prop)
+    return mask
+
+
+def gen_obs_grid(
+    state: EnvState, params: EnvParams
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(view_cells uint8[V,V,3], vis_mask bool[V,V]) — the tensor analogue of
+    MiniGridEnv.gen_obs_grid (minigrid_env.py:594-629), including the
+    carried-object overlay at the agent cell."""
+    v = params.agent_view_size
+    cells = gather_view(state.grid, state.agent_pos, state.agent_dir, v)
+    if params.see_through_walls:
+        vis_mask = jnp.ones((v, v), dtype=bool)
+    else:
+        vis_mask = process_vis(cells, v)
+    # Agent sees what it carries (minigrid_env.py:620-627); empty hands -> None.
+    cells = cells.at[v // 2, v - 1].set(state.carrying)
+    return cells, vis_mask
+
+
+def encode_view(cells: jnp.ndarray, vis_mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked encode (grid.py:244-268): invisible cells -> unseen (0,0,0)."""
+    return jnp.where(vis_mask[..., None], cells, jnp.zeros_like(cells))
+
+
+def gen_obs(state: EnvState, params: EnvParams) -> dict:
+    """The reference observation dict (minigrid_env.py:631-651) with the
+    mission as a packed int code (host detokenization lives in the registry)."""
+    cells, vis_mask = gen_obs_grid(state, params)
+    return {
+        "image": encode_view(cells, vis_mask),
+        "direction": state.agent_dir,
+        "mission": state.mission,
+    }

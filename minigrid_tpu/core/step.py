@@ -1,0 +1,208 @@
+"""Pure functional transition kernel.
+
+Re-derivation of the reference action branch tree
+(``minigrid/minigrid_env.py:524-592``) as a branchless tensor program: all
+eight actions (left/right/forward/pickup/drop/toggle/done/stay,
+minigrid_env.py:34-47) are evaluated as masked ``where`` selects so the kernel
+vmaps over an env batch with zero divergence.  Per-type semantics come from
+the constant behavior tables in :mod:`minigrid_tpu.core.constants`; the door
+lock FSM (world_object.py:229-239) and box-reveal toggle
+(world_object.py:440-443) are folded into the same select tree.
+
+At most one grid cell (the cell in front of the agent) changes per step, so
+the whole grid update is a single dynamic scatter.
+"""
+
+from __future__ import annotations
+
+from enum import IntEnum
+
+import jax.numpy as jnp
+from flax import struct
+
+from minigrid_tpu.core import constants as C
+from minigrid_tpu.core.state import EnvParams, EnvState
+
+# Device-resident copies of the behavior tables.
+_DIR_TO_VEC = jnp.asarray(C.DIR_TO_VEC)  # int32[4,2]
+_CAN_OVERLAP = jnp.asarray(C.CAN_OVERLAP)  # bool[34]
+_CAN_PICKUP = jnp.asarray(C.CAN_PICKUP)  # bool[34]
+_EMPTY = jnp.asarray(C.EMPTY_TRIPLE)  # uint8[3]
+
+_DOOR = C.OBJECT_TO_IDX["door"]
+_KEY = C.OBJECT_TO_IDX["key"]
+_BOX = C.OBJECT_TO_IDX["box"]
+_GOAL = C.OBJECT_TO_IDX["goal"]
+_LAVA = C.OBJECT_TO_IDX["lava"]
+_EMPTY_T = C.OBJECT_TO_IDX["empty"]
+
+# Action ids (reference minigrid_env.py:34-47, incl. the fork's `stay`).
+LEFT, RIGHT, FORWARD, PICKUP, DROP, TOGGLE, DONE, STAY = range(8)
+NUM_ACTIONS = 8
+
+
+class Actions(IntEnum):
+    """User-facing action enum, same names/values as the reference."""
+
+    left = 0
+    right = 1
+    forward = 2
+    pickup = 3
+    drop = 4
+    toggle = 5
+    done = 6
+    stay = 7
+
+
+@struct.dataclass
+class StepOutcome:
+    """What base_step observed/decided — envs build task rewards on top."""
+
+    fwd_pos: jnp.ndarray  # int32[2] — cell in front (pre-action direction)
+    fwd_cell: jnp.ndarray  # uint8[3] — its contents before the action
+    moved: jnp.ndarray  # bool — agent advanced into fwd_pos
+    picked_up: jnp.ndarray  # bool — pickup succeeded this step
+    dropped: jnp.ndarray  # bool — drop succeeded this step
+    toggled_door: jnp.ndarray  # bool — a door FSM transition fired
+    prev_carrying: jnp.ndarray  # uint8[3] — hands before the action
+
+
+def can_overlap(cell: jnp.ndarray) -> jnp.ndarray:
+    """Walkability of a (..., 3) cell triple — per-type table plus the open-door
+    override (world_object.py:222-224)."""
+    t = cell[..., 0].astype(jnp.int32)
+    s = cell[..., 2].astype(jnp.int32)
+    return _CAN_OVERLAP[t] | ((t == _DOOR) & (s == C.STATE_TO_IDX["open"]))
+
+
+def base_step(
+    state: EnvState, action: jnp.ndarray, params: EnvParams
+) -> tuple[EnvState, jnp.ndarray, jnp.ndarray, jnp.ndarray, StepOutcome]:
+    """One transition.  Returns (state', reward, terminated, truncated, outcome).
+
+    Mirrors MiniGridEnv.step (minigrid_env.py:524-592) exactly:
+    reward = 1 - 0.9 * step_count/max_steps on reaching goal
+    (minigrid_env.py:239-244, with step_count already incremented),
+    termination on goal or lava, truncation at max_steps.
+    """
+    action = jnp.asarray(action, dtype=jnp.int32)
+    step_count = state.step_count + 1
+
+    is_left = action == LEFT
+    is_right = action == RIGHT
+    is_forward = action == FORWARD
+    is_pickup = action == PICKUP
+    is_drop = action == DROP
+    is_toggle = action == TOGGLE
+
+    # --- orientation (minigrid_env.py:538-545) --------------------------------
+    new_dir = jnp.where(
+        is_left, (state.agent_dir + 3) % 4, jnp.where(is_right, (state.agent_dir + 1) % 4, state.agent_dir)
+    )
+
+    # --- front cell (computed with the PRE-action direction,
+    #     minigrid_env.py:532-535) -------------------------------------------
+    fwd_pos = state.agent_pos + _DIR_TO_VEC[state.agent_dir]
+    w, h = params.width, params.height
+    in_bounds = (
+        (fwd_pos[0] >= 0) & (fwd_pos[0] < w) & (fwd_pos[1] >= 0) & (fwd_pos[1] < h)
+    )
+    cx = jnp.clip(fwd_pos[0], 0, w - 1)
+    cy = jnp.clip(fwd_pos[1], 0, h - 1)
+    fwd_cell = jnp.where(
+        in_bounds, state.grid[cx, cy], jnp.asarray(C.WALL_TRIPLE, dtype=jnp.uint8)
+    )
+    fwd_contains = state.box_contains[cx, cy]
+    fwd_type = fwd_cell[0].astype(jnp.int32)
+    fwd_state = fwd_cell[2].astype(jnp.int32)
+    fwd_is_none = fwd_type == _EMPTY_T  # encode(None) == (empty, 0, 0)
+    hands_free = state.carrying[0].astype(jnp.int32) == _EMPTY_T
+
+    # --- forward (minigrid_env.py:548-555) ------------------------------------
+    moved = is_forward & can_overlap(fwd_cell) & in_bounds
+    new_pos = jnp.where(moved, fwd_pos, state.agent_pos)
+    hit_goal = is_forward & (fwd_type == _GOAL)
+    hit_lava = is_forward & (fwd_type == _LAVA)
+    terminated = hit_goal | hit_lava
+    reward = jnp.where(
+        hit_goal,
+        1.0 - 0.9 * (step_count.astype(jnp.float32) / params.max_steps),
+        0.0,
+    )
+
+    # --- pickup (minigrid_env.py:558-563) -------------------------------------
+    picked_up = is_pickup & _CAN_PICKUP[fwd_type] & hands_free & in_bounds
+    # --- drop (minigrid_env.py:566-570) ---------------------------------------
+    dropped = is_drop & fwd_is_none & ~hands_free & in_bounds
+    # --- toggle (minigrid_env.py:573-575) --------------------------------------
+    toggling = is_toggle & ~fwd_is_none & (fwd_type != 0) & in_bounds
+    is_door = fwd_type == _DOOR
+    is_locked = fwd_state == C.STATE_TO_IDX["locked"]
+    has_matching_key = (state.carrying[0].astype(jnp.int32) == _KEY) & (
+        state.carrying[1] == fwd_cell[1]
+    )
+    # Door FSM (world_object.py:229-239): locked+key -> open; locked w/o key ->
+    # stays locked; open<->closed flip otherwise.
+    new_door_state = jnp.where(
+        is_locked,
+        jnp.where(has_matching_key, C.STATE_TO_IDX["open"], C.STATE_TO_IDX["locked"]),
+        1 - fwd_state,  # 0 <-> 1
+    ).astype(jnp.uint8)
+    toggle_door = toggling & is_door
+    toggled_door = toggle_door & (is_locked & has_matching_key | ~is_locked)
+    # Box reveal (world_object.py:440-443): cell <- contents, contents plane
+    # cleared.  `contains=None` reveals an empty cell because the plane holds
+    # the encode of None, i.e. (empty, 0, 0).
+    toggle_box = toggling & (fwd_type == _BOX)
+
+    # --- compose the single front-cell write ----------------------------------
+    door_cell = jnp.stack(
+        [fwd_cell[0], fwd_cell[1], new_door_state], axis=0
+    ).astype(jnp.uint8)
+    new_fwd_cell = fwd_cell
+    new_fwd_cell = jnp.where(picked_up, _EMPTY, new_fwd_cell)
+    new_fwd_cell = jnp.where(dropped, state.carrying, new_fwd_cell)
+    new_fwd_cell = jnp.where(toggle_door, door_cell, new_fwd_cell)
+    new_fwd_cell = jnp.where(toggle_box, fwd_contains, new_fwd_cell)
+
+    new_fwd_contains = fwd_contains
+    new_fwd_contains = jnp.where(picked_up | toggle_box, _EMPTY, new_fwd_contains)
+    new_fwd_contains = jnp.where(dropped, state.carrying_contains, new_fwd_contains)
+
+    grid = state.grid.at[cx, cy].set(
+        jnp.where(in_bounds, new_fwd_cell, state.grid[cx, cy])
+    )
+    box_contains = state.box_contains.at[cx, cy].set(
+        jnp.where(in_bounds, new_fwd_contains, state.box_contains[cx, cy])
+    )
+
+    new_carrying = jnp.where(
+        picked_up, fwd_cell, jnp.where(dropped, _EMPTY, state.carrying)
+    )
+    new_carrying_contains = jnp.where(
+        picked_up, fwd_contains, jnp.where(dropped, _EMPTY, state.carrying_contains)
+    )
+
+    truncated = step_count >= params.max_steps  # minigrid_env.py:584-585
+
+    new_state = state.replace(
+        grid=grid,
+        box_contains=box_contains,
+        agent_pos=new_pos,
+        agent_dir=new_dir,
+        carrying=new_carrying,
+        carrying_contains=new_carrying_contains,
+        step_count=step_count,
+        terminated=terminated,
+        truncated=truncated,
+    )
+    outcome = StepOutcome(
+        fwd_pos=fwd_pos,
+        fwd_cell=fwd_cell,
+        moved=moved,
+        picked_up=picked_up,
+        dropped=dropped,
+        toggled_door=toggled_door,
+        prev_carrying=state.carrying,
+    )
+    return new_state, reward, terminated, truncated, outcome

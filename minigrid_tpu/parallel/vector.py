@@ -1,0 +1,132 @@
+"""Vectorized env batch with auto-reset — the core product.
+
+The reference has no parallelism of any kind (one env object, stepped
+synchronously; its benchmark steps a single env, minigrid/benchmark.py:36-42).
+Here an env *batch* is the unit of execution: ``reset``/``step`` vmap over a
+leading batch axis of EnvState pytrees, with an auto-reset lane fused into the
+step (finished episodes are regenerated on-device from each env's own PRNG
+stream — no host round-trip, no divergence).
+
+Layout note: batch size B is the leading axis of every state leaf; under
+``jit`` the whole transition (step + conditional regenerate + obs) compiles to
+one fused program, and the batch axis shards cleanly over a device mesh (see
+:mod:`minigrid_tpu.parallel.sharding`).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from minigrid_tpu.core.env import Env
+from minigrid_tpu.core.state import EnvParams, EnvState
+
+
+def tree_select(pred: jnp.ndarray, a: Any, b: Any) -> Any:
+    """Per-env pytree select: pred is bool[B], leaves have leading dim B."""
+
+    def sel(x, y):
+        p = pred.reshape(pred.shape + (1,) * (x.ndim - 1))
+        return jnp.where(p, x, y)
+
+    return jax.tree_util.tree_map(sel, a, b)
+
+
+class VectorEnv:
+    """B lockstep instances of one env family.
+
+    API (all pure, all jit/shard-friendly):
+        obs, state = venv.reset(key)                 # key: single PRNGKey
+        obs, state, reward, terminated, truncated, info = venv.step(state, actions)
+
+    ``step`` auto-resets: when an episode ends, the returned obs/state belong
+    to the *new* episode while reward/terminated/truncated report the step
+    that ended the old one.  The final observation of the finished episode is
+    provided in ``info['final_obs']`` (gymnasium VectorEnv convention).
+    """
+
+    def __init__(self, env: Env, num_envs: int, params: EnvParams | None = None,
+                 auto_reset: bool = True):
+        self.env = env
+        self.num_envs = num_envs
+        self.params = params if params is not None else env.default_params
+        self.auto_reset = auto_reset
+
+        params_ = self.params
+
+        def _reset(key: jnp.ndarray):
+            keys = jax.random.split(key, num_envs)
+            return jax.vmap(lambda k: env.reset(k, params_))(keys)
+
+        def _step(state: EnvState, action: jnp.ndarray):
+            obs, next_state, reward, terminated, truncated, info = jax.vmap(
+                lambda s, a: env.step(s, a, params_)
+            )(state, action)
+            if not auto_reset:
+                return obs, next_state, reward, terminated, truncated, info
+            done = terminated | truncated
+            # Regenerate finished episodes from each env's own stream.
+            reset_keys = jax.vmap(
+                lambda s: jax.random.split(s.rng, 2)
+            )(next_state)
+            fresh_obs, fresh_state = jax.vmap(
+                lambda k: env.reset(k, params_)
+            )(reset_keys[:, 0])
+            new_state = tree_select(done, fresh_state, next_state)
+            new_obs = tree_select(done, fresh_obs, obs)
+            info = dict(info)
+            info["final_obs"] = obs
+            return new_obs, new_state, reward, terminated, truncated, info
+
+        self._reset = jax.jit(_reset)
+        self._step = jax.jit(_step)
+
+    def reset(self, key: jnp.ndarray):
+        return self._reset(key)
+
+    def step(self, state: EnvState, action: jnp.ndarray):
+        return self._step(state, action)
+
+
+def rollout(
+    env: Env,
+    params: EnvParams,
+    key: jnp.ndarray,
+    num_envs: int,
+    num_steps: int,
+    policy=None,
+):
+    """lax.scan rollout harness: B envs × T steps entirely on device.
+
+    ``policy(key, obs) -> action[B]`` defaults to uniform-random actions.
+    Returns (final_state, trajectory dict of stacked [T, B, ...] arrays).
+    """
+    if policy is None:
+        def policy(k, obs):
+            return jax.random.randint(
+                k, (num_envs,), 0, env.num_actions, dtype=jnp.int32
+            )
+
+    venv = VectorEnv(env, num_envs, params)
+    key, k_reset = jax.random.split(key)
+    obs, state = venv.reset(k_reset)
+
+    def body(carry, k):
+        obs, state = carry
+        action = policy(k, obs)
+        new_obs, new_state, reward, terminated, truncated, _ = venv._step(
+            state, action
+        )
+        out = {
+            "action": action,
+            "reward": reward,
+            "terminated": terminated,
+            "truncated": truncated,
+        }
+        return (new_obs, new_state), out
+
+    keys = jax.random.split(key, num_steps)
+    (obs, state), traj = jax.lax.scan(body, (obs, state), keys)
+    return state, traj

@@ -1,0 +1,54 @@
+"""Environment registry.
+
+The reference registers ~170 env ids with frozen kwargs — its de-facto config
+database of named difficulty presets (minigrid/__init__.py:16-1094) — but the
+fork *disables* registration with an immediate ``raise`` (minigrid/__init__.py:11),
+leaving ``gym.make`` broken.  This registry restores a working id -> (env
+class, preset kwargs) table with the same id strings, returning functional
+:class:`Env` instances.
+
+    env = minigrid_tpu.make("MiniGrid-DoorKey-8x8-v0")
+    obs, state = env.reset(key, env.default_params)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Type
+
+from minigrid_tpu.core.env import Env
+
+
+@dataclass
+class EnvSpec:
+    id: str
+    cls: Type[Env]
+    kwargs: dict[str, Any] = field(default_factory=dict)
+
+
+_REGISTRY: dict[str, EnvSpec] = {}
+
+
+def register(id: str, cls: Type[Env], **kwargs: Any) -> None:
+    _REGISTRY[id] = EnvSpec(id=id, cls=cls, kwargs=dict(kwargs))
+
+
+def make(id: str, **overrides: Any) -> Env:
+    """Instantiate a registered env preset (the gym.make analogue)."""
+    if id not in _REGISTRY:
+        raise KeyError(
+            f"Unknown env id {id!r}. Known ids: {sorted(_REGISTRY)[:10]}... "
+            f"({len(_REGISTRY)} total)"
+        )
+    spec = _REGISTRY[id]
+    kwargs = dict(spec.kwargs)
+    kwargs.update(overrides)
+    return spec.cls(**kwargs)
+
+
+def registered_ids() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def spec(id: str) -> EnvSpec:
+    return _REGISTRY[id]

@@ -1,0 +1,49 @@
+"""Mesh-sharded env batch on the virtual 8-device CPU farm."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import minigrid_tpu
+from minigrid_tpu.parallel.sharding import (
+    ShardedVectorEnv,
+    batch_sharding,
+    env_mesh,
+    sharded_rollout,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest should provide 8 virtual devices"
+    return env_mesh(jax.devices()[:8])
+
+
+def test_sharded_reset_step(mesh):
+    env = minigrid_tpu.make("MiniGrid-DoorKey-8x8-v0")
+    venv = ShardedVectorEnv(env, num_envs=64, mesh=mesh)
+    obs, state = venv.reset(jax.random.PRNGKey(0))
+    # State actually lives sharded across the 8 devices.
+    assert len(state.grid.sharding.device_set) == 8
+    actions = jnp.zeros((64,), dtype=jnp.int32)
+    obs, state, reward, term, trunc, info = venv.step(state, actions)
+    assert reward.shape == (64,)
+    assert len(state.grid.sharding.device_set) == 8
+
+
+def test_sharded_rollout_matches_single_device():
+    """The sharded program computes the same trajectory as unsharded."""
+    env = minigrid_tpu.make("MiniGrid-Empty-5x5-v0")
+    params = env.default_params
+    key = jax.random.PRNGKey(5)
+    mesh8 = env_mesh(jax.devices()[:8])
+    mesh1 = env_mesh(jax.devices()[:1])
+    n1 = sharded_rollout(env, params, key, 32, 20, mesh=mesh1)
+    n8 = sharded_rollout(env, params, key, 32, 20, mesh=mesh8)
+    assert n1[0] == n8[0] == 32 * 20
+    assert abs(n1[1] - n8[1]) < 1e-3  # same total reward
+    assert n1[2] == n8[2]  # same number of episode ends
