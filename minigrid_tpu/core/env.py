@@ -78,9 +78,11 @@ class Env:
         return self.observation(state, params), state
 
     # -- transition -----------------------------------------------------------
-    def step(
+    def step_state(
         self, state: EnvState, action: jnp.ndarray, params: EnvParams
-    ) -> tuple[dict, EnvState, jnp.ndarray, jnp.ndarray, jnp.ndarray, dict]:
+    ) -> tuple[EnvState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Transition without observation (lets batch layers fuse/select state
+        before paying for the obs kernel once)."""
         state, reward, terminated, truncated, outcome = base_step(
             state, action, params
         )
@@ -88,8 +90,14 @@ class Env:
             state, action, reward, terminated, outcome, params
         )
         state = state.replace(terminated=terminated)
+        return state, reward, terminated, truncated
+
+    def step(
+        self, state: EnvState, action: jnp.ndarray, params: EnvParams
+    ) -> tuple[dict, EnvState, jnp.ndarray, jnp.ndarray, jnp.ndarray, dict]:
+        state, reward, terminated, truncated = self.step_state(state, action, params)
         obs = self.observation(state, params)
-        return obs, state, reward, terminated, state.truncated, {}
+        return obs, state, reward, terminated, truncated, {}
 
     def post_step(
         self,

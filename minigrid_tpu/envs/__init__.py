@@ -7,8 +7,13 @@ switch by changing only the import.
 
 from __future__ import annotations
 
+from minigrid_tpu.envs.crossing import CrossingEnv
+from minigrid_tpu.envs.distshift import DistShiftEnv
 from minigrid_tpu.envs.doorkey import DoorKeyEnv
+from minigrid_tpu.envs.dynamicobstacles import DynamicObstaclesEnv
 from minigrid_tpu.envs.empty import EmptyEnv
+from minigrid_tpu.envs.fourrooms import FourRoomsEnv
+from minigrid_tpu.envs.lavagap import LavaGapEnv
 from minigrid_tpu.registry import register
 
 # --- Empty (minigrid/__init__.py:141-186) ----------------------------------
@@ -25,4 +30,51 @@ register("MiniGrid-DoorKey-6x6-v0", DoorKeyEnv, size=6)
 register("MiniGrid-DoorKey-8x8-v0", DoorKeyEnv, size=8)
 register("MiniGrid-DoorKey-16x16-v0", DoorKeyEnv, size=16)
 
-__all__ = ["EmptyEnv", "DoorKeyEnv"]
+# --- LavaCrossing / SimpleCrossing (minigrid/__init__.py:33-82) --------------
+register("MiniGrid-LavaCrossingS9N1-v0", CrossingEnv, size=9, num_crossings=1)
+register("MiniGrid-LavaCrossingS9N2-v0", CrossingEnv, size=9, num_crossings=2)
+register("MiniGrid-LavaCrossingS9N3-v0", CrossingEnv, size=9, num_crossings=3)
+register("MiniGrid-LavaCrossingS11N5-v0", CrossingEnv, size=11, num_crossings=5)
+register("MiniGrid-SimpleCrossingS9N1-v0", CrossingEnv, size=9, num_crossings=1,
+         obstacle_type="wall")
+register("MiniGrid-SimpleCrossingS9N2-v0", CrossingEnv, size=9, num_crossings=2,
+         obstacle_type="wall")
+register("MiniGrid-SimpleCrossingS9N3-v0", CrossingEnv, size=9, num_crossings=3,
+         obstacle_type="wall")
+register("MiniGrid-SimpleCrossingS11N5-v0", CrossingEnv, size=11,
+         num_crossings=5, obstacle_type="wall")
+
+# --- DistShift (minigrid/__init__.py:87-96) ----------------------------------
+register("MiniGrid-DistShift1-v0", DistShiftEnv, strip2_row=2)
+register("MiniGrid-DistShift2-v0", DistShiftEnv, strip2_row=5)
+
+# --- Dynamic-Obstacles (minigrid/__init__.py:129-161) ------------------------
+register("MiniGrid-Dynamic-Obstacles-5x5-v0", DynamicObstaclesEnv, size=5,
+         n_obstacles=2)
+register("MiniGrid-Dynamic-Obstacles-Random-5x5-v0", DynamicObstaclesEnv,
+         size=5, agent_start_pos=None, n_obstacles=2)
+register("MiniGrid-Dynamic-Obstacles-6x6-v0", DynamicObstaclesEnv, size=6,
+         n_obstacles=3)
+register("MiniGrid-Dynamic-Obstacles-Random-6x6-v0", DynamicObstaclesEnv,
+         size=6, agent_start_pos=None, n_obstacles=3)
+register("MiniGrid-Dynamic-Obstacles-8x8-v0", DynamicObstaclesEnv, size=8)
+register("MiniGrid-Dynamic-Obstacles-16x16-v0", DynamicObstaclesEnv, size=16,
+         n_obstacles=8)
+
+# --- FourRooms (minigrid/__init__.py:223) -------------------------------------
+register("MiniGrid-FourRooms-v0", FourRoomsEnv)
+
+# --- LavaGap (minigrid/__init__.py:304-318) -----------------------------------
+register("MiniGrid-LavaGapS5-v0", LavaGapEnv, size=5)
+register("MiniGrid-LavaGapS6-v0", LavaGapEnv, size=6)
+register("MiniGrid-LavaGapS7-v0", LavaGapEnv, size=7)
+
+__all__ = [
+    "CrossingEnv",
+    "DistShiftEnv",
+    "DoorKeyEnv",
+    "DynamicObstaclesEnv",
+    "EmptyEnv",
+    "FourRoomsEnv",
+    "LavaGapEnv",
+]

@@ -48,11 +48,12 @@ class VectorEnv:
     """
 
     def __init__(self, env: Env, num_envs: int, params: EnvParams | None = None,
-                 auto_reset: bool = True):
+                 auto_reset: bool = True, final_obs: bool = False):
         self.env = env
         self.num_envs = num_envs
         self.params = params if params is not None else env.default_params
         self.auto_reset = auto_reset
+        self.final_obs = final_obs
 
         params_ = self.params
 
@@ -61,23 +62,25 @@ class VectorEnv:
             return jax.vmap(lambda k: env.reset(k, params_))(keys)
 
         def _step(state: EnvState, action: jnp.ndarray):
-            obs, next_state, reward, terminated, truncated, info = jax.vmap(
-                lambda s, a: env.step(s, a, params_)
+            next_state, reward, terminated, truncated = jax.vmap(
+                lambda s, a: env.step_state(s, a, params_)
             )(state, action)
+            info: dict = {}
             if not auto_reset:
+                obs = jax.vmap(lambda s: env.observation(s, params_))(next_state)
                 return obs, next_state, reward, terminated, truncated, info
             done = terminated | truncated
-            # Regenerate finished episodes from each env's own stream.
-            reset_keys = jax.vmap(
-                lambda s: jax.random.split(s.rng, 2)
+            # Regenerate finished episodes from each env's own stream, select
+            # state first, then pay for the obs kernel exactly once.
+            fresh_state = jax.vmap(
+                lambda s: env.generate(jax.random.split(s.rng)[0], params_)
             )(next_state)
-            fresh_obs, fresh_state = jax.vmap(
-                lambda k: env.reset(k, params_)
-            )(reset_keys[:, 0])
             new_state = tree_select(done, fresh_state, next_state)
-            new_obs = tree_select(done, fresh_obs, obs)
-            info = dict(info)
-            info["final_obs"] = obs
+            new_obs = jax.vmap(lambda s: env.observation(s, params_))(new_state)
+            if final_obs:
+                info["final_obs"] = jax.vmap(
+                    lambda s: env.observation(s, params_)
+                )(next_state)
             return new_obs, new_state, reward, terminated, truncated, info
 
         self._reset = jax.jit(_reset)

@@ -1,0 +1,171 @@
+"""Per-env structural invariants of the procedural generators.
+
+The reference guarantees these implicitly through its construction; here they
+are asserted explicitly over many seeds (e.g. Crossing's carved zigzag path,
+crossing.py:155-178, must leave the goal reachable).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import minigrid_tpu
+from minigrid_tpu.core import constants as C
+
+T = C.OBJECT_TO_IDX
+
+
+def reachable(grid: np.ndarray, start, goal) -> bool:
+    """Host BFS over walkable cells (empty/goal/floor/open door/lava excluded?
+    lava is overlap-able but deadly — treat as blocked for solvability)."""
+    w, h, _ = grid.shape
+    passable = np.isin(grid[..., 0], [T["empty"], T["goal"], T["floor"]])
+    passable |= (grid[..., 0] == T["door"]) & (grid[..., 2] == 0)
+    q = deque([tuple(start)])
+    seen = {tuple(start)}
+    while q:
+        x, y = q.popleft()
+        if (x, y) == tuple(goal):
+            return True
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nx, ny = x + dx, y + dy
+            if 0 <= nx < w and 0 <= ny < h and (nx, ny) not in seen and passable[nx, ny]:
+                seen.add((nx, ny))
+                q.append((nx, ny))
+    return False
+
+
+def gen(eid: str, seed: int):
+    env = minigrid_tpu.make(eid)
+    params = env.default_params
+    _, state = env.reset(jax.random.PRNGKey(seed), params)
+    return env, params, state
+
+
+@pytest.mark.parametrize(
+    "eid",
+    [
+        "MiniGrid-LavaCrossingS9N1-v0",
+        "MiniGrid-LavaCrossingS9N3-v0",
+        "MiniGrid-LavaCrossingS11N5-v0",
+        "MiniGrid-SimpleCrossingS9N2-v0",
+        "MiniGrid-SimpleCrossingS11N5-v0",
+    ],
+)
+def test_crossing_always_solvable(eid):
+    """The carved room-to-room path guarantees goal reachability."""
+    env = minigrid_tpu.make(eid)
+    params = env.default_params
+    reset = jax.jit(lambda k: env.reset(k, params)[1])
+    for seed in range(20):
+        state = reset(jax.random.PRNGKey(seed))
+        g = np.asarray(state.grid)
+        goal = np.argwhere(g[..., 0] == T["goal"])[0]
+        assert reachable(g, np.asarray(state.agent_pos), goal), f"seed {seed}"
+
+
+def test_crossing_river_count():
+    env = minigrid_tpu.make("MiniGrid-LavaCrossingS9N3-v0")
+    params = env.default_params
+    for seed in range(10):
+        _, state = env.reset(jax.random.PRNGKey(seed), params)
+        g = np.asarray(state.grid)
+        lava = g[..., 0] == T["lava"]
+        # 3 rivers of length 7, minus 3 carved openings (openings may land on
+        # crossings shared by two rivers, so count is an upper bound check).
+        assert 0 < lava.sum() <= 3 * 7
+        # rivers only on even interior lines
+        xs, ys = np.nonzero(lava)
+        assert all((x % 2 == 0) or (y % 2 == 0) for x, y in zip(xs, ys))
+
+
+def test_lavagap_solvable_and_shaped():
+    env = minigrid_tpu.make("MiniGrid-LavaGapS7-v0")
+    params = env.default_params
+    for seed in range(20):
+        _, state = env.reset(jax.random.PRNGKey(seed), params)
+        g = np.asarray(state.grid)
+        lava_cols = np.unique(np.nonzero(g[..., 0] == T["lava"])[0])
+        assert len(lava_cols) == 1  # one vertical strip
+        col = g[lava_cols[0], :, 0]
+        assert (col == T["lava"]).sum() == params.height - 3  # one gap carved
+        assert reachable(g, np.asarray(state.agent_pos), (5, 5))
+
+
+def test_fourrooms_structure():
+    env = minigrid_tpu.make("MiniGrid-FourRooms-v0")
+    params = env.default_params
+    for seed in range(10):
+        _, state = env.reset(jax.random.PRNGKey(seed), params)
+        g = np.asarray(state.grid)
+        goal = np.argwhere(g[..., 0] == T["goal"])
+        assert len(goal) == 1
+        # exactly 4 gaps in the internal walls
+        mid = params.width // 2
+        v_gaps = (g[mid, 1:-1, 0] == T["empty"]).sum()
+        h_gaps = (g[1:-1, mid, 0] == T["empty"]).sum()
+        assert v_gaps == 2 and h_gaps == 2
+        assert reachable(g, np.asarray(state.agent_pos), goal[0])
+
+
+def test_distshift_layout():
+    env = minigrid_tpu.make("MiniGrid-DistShift2-v0")
+    params = env.default_params
+    _, state = env.reset(jax.random.PRNGKey(0), params)
+    g = np.asarray(state.grid)
+    assert g[7, 1, 0] == T["goal"]
+    assert all(g[3 + i, 1, 0] in (T["lava"], T["goal"]) for i in range(3))
+    assert all(g[3 + i, 5, 0] == T["lava"] for i in range(3))
+
+
+class TestDynamicObstacles:
+    def setup_method(self):
+        self.env = minigrid_tpu.make("MiniGrid-Dynamic-Obstacles-8x8-v0")
+        self.params = self.env.default_params
+
+    def test_obstacle_count_preserved(self):
+        _, state = self.env.reset(jax.random.PRNGKey(0), self.params)
+        step = jax.jit(lambda s, a: self.env.step(s, a, self.params))
+        for t in range(30):
+            _, state, r, term, trunc, _ = step(state, jnp.int32(t % 3))
+            g = np.asarray(state.grid)
+            assert (g[..., 0] == T["ball"]).sum() == self.env.n_obstacles
+            if bool(term):
+                break
+
+    def test_collision_penalty(self):
+        """Walking into a wall (not_clear pre-move) -> reward -1, terminated."""
+        _, state = self.env.reset(jax.random.PRNGKey(0), self.params)
+        # agent at (1,1) facing east; turn to face the west wall and walk in
+        _, state, _, _, _, _ = self.env.step(state, jnp.int32(0), self.params)
+        _, state, _, _, _, _ = self.env.step(state, jnp.int32(0), self.params)
+        _, state, r, term, _, _ = self.env.step(state, jnp.int32(2), self.params)
+        assert float(r) == -1.0 and bool(term)
+
+    def test_invalid_action_clamped(self):
+        """Actions >= 3 behave as `left` (dynamicobstacles.py:138-139)."""
+        _, state = self.env.reset(jax.random.PRNGKey(0), self.params)
+        _, s1, _, _, _, _ = self.env.step(state, jnp.int32(5), self.params)
+        assert int(s1.agent_dir) == (int(state.agent_dir) + 3) % 4
+
+
+@pytest.mark.parametrize("eid", [
+    "MiniGrid-FourRooms-v0",
+    "MiniGrid-LavaGapS5-v0",
+    "MiniGrid-DistShift1-v0",
+    "MiniGrid-LavaCrossingS9N1-v0",
+    "MiniGrid-Dynamic-Obstacles-5x5-v0",
+])
+def test_vmapped_generation(eid):
+    """Every generator runs under vmap with decorrelated episodes."""
+    env = minigrid_tpu.make(eid)
+    params = env.default_params
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    _, states = jax.jit(jax.vmap(lambda k: env.reset(k, params)))(keys)
+    assert states.grid.shape[0] == 8

@@ -13,7 +13,7 @@ from minigrid_tpu.parallel.vector import VectorEnv, rollout
 
 def test_vector_reset_step_shapes():
     env = minigrid_tpu.make("MiniGrid-DoorKey-8x8-v0")
-    venv = VectorEnv(env, num_envs=16)
+    venv = VectorEnv(env, num_envs=16, final_obs=True)
     obs, state = venv.reset(jax.random.PRNGKey(0))
     assert obs["image"].shape == (16, 7, 7, 3)
     actions = jnp.zeros((16,), dtype=jnp.int32)
