@@ -12,8 +12,14 @@ from minigrid_tpu.envs.distshift import DistShiftEnv
 from minigrid_tpu.envs.doorkey import DoorKeyEnv
 from minigrid_tpu.envs.dynamicobstacles import DynamicObstaclesEnv
 from minigrid_tpu.envs.empty import EmptyEnv
+from minigrid_tpu.envs.fetch import FetchEnv
 from minigrid_tpu.envs.fourrooms import FourRoomsEnv
+from minigrid_tpu.envs.gotodoor import GoToDoorEnv
+from minigrid_tpu.envs.gotoobject import GoToObjectEnv
 from minigrid_tpu.envs.lavagap import LavaGapEnv
+from minigrid_tpu.envs.memory import MemoryEnv
+from minigrid_tpu.envs.putnear import PutNearEnv
+from minigrid_tpu.envs.redbluedoors import RedBlueDoorEnv
 from minigrid_tpu.registry import register
 
 # --- Empty (minigrid/__init__.py:141-186) ----------------------------------
@@ -68,6 +74,36 @@ register("MiniGrid-FourRooms-v0", FourRoomsEnv)
 register("MiniGrid-LavaGapS5-v0", LavaGapEnv, size=5)
 register("MiniGrid-LavaGapS6-v0", LavaGapEnv, size=6)
 register("MiniGrid-LavaGapS7-v0", LavaGapEnv, size=7)
+
+# --- Fetch (minigrid/__init__.py:206-217) ------------------------------------
+register("MiniGrid-Fetch-5x5-N2-v0", FetchEnv, size=5, numObjs=2)
+register("MiniGrid-Fetch-6x6-N2-v0", FetchEnv, size=6, numObjs=2)
+register("MiniGrid-Fetch-8x8-N3-v0", FetchEnv)
+
+# --- GoToDoor (minigrid/__init__.py:231-244) ----------------------------------
+register("MiniGrid-GoToDoor-5x5-v0", GoToDoorEnv)
+register("MiniGrid-GoToDoor-6x6-v0", GoToDoorEnv, size=6)
+register("MiniGrid-GoToDoor-8x8-v0", GoToDoorEnv, size=8)
+
+# --- GoToObject (minigrid/__init__.py:251-258) ---------------------------------
+register("MiniGrid-GoToObject-6x6-N2-v0", GoToObjectEnv)
+register("MiniGrid-GoToObject-8x8-N2-v0", GoToObjectEnv, size=8, numObjs=2)
+
+# --- Memory (minigrid/__init__.py:333-365) -------------------------------------
+register("MiniGrid-MemoryS17Random-v0", MemoryEnv, size=17, random_length=True)
+register("MiniGrid-MemoryS13Random-v0", MemoryEnv, size=13, random_length=True)
+register("MiniGrid-MemoryS13-v0", MemoryEnv, size=13)
+register("MiniGrid-MemoryS11-v0", MemoryEnv, size=11)
+register("MiniGrid-MemoryS9-v0", MemoryEnv, size=9)
+register("MiniGrid-MemoryS7-v0", MemoryEnv, size=7)
+
+# --- PutNear (minigrid/__init__.py:486-493) ------------------------------------
+register("MiniGrid-PutNear-6x6-N2-v0", PutNearEnv)
+register("MiniGrid-PutNear-8x8-N3-v0", PutNearEnv, size=8, numObjs=3)
+
+# --- RedBlueDoors (minigrid/__init__.py:500-506) --------------------------------
+register("MiniGrid-RedBlueDoors-6x6-v0", RedBlueDoorEnv, size=6)
+register("MiniGrid-RedBlueDoors-8x8-v0", RedBlueDoorEnv, size=8)
 
 __all__ = [
     "CrossingEnv",

@@ -1,0 +1,78 @@
+"""GoToObjectEnv — say `done` next to the named object.
+
+TPU-native re-derivation of ``minigrid/envs/gotoobject.py:10-111``: numObjs
+distinct (type, color) key/ball/box objects, one is the target; `done` within
+the 8-neighborhood of the target pays; `toggle` terminates.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from minigrid_tpu.core import constants as C
+from minigrid_tpu.core import grid_ops as G
+from minigrid_tpu.core.env import Env
+from minigrid_tpu.core.sampling import distinct_type_colors
+from minigrid_tpu.core.state import EnvParams, EnvState, base_state, empty_grid
+from minigrid_tpu.core.step import DONE, TOGGLE
+
+_TYPE_IDS = jnp.asarray(
+    [C.OBJECT_TO_IDX["key"], C.OBJECT_TO_IDX["ball"], C.OBJECT_TO_IDX["box"]],
+    dtype=jnp.int32,
+)
+
+
+class GoToObjectEnv(Env):
+    name = "GoToObject"
+
+    def __init__(self, size: int = 6, numObjs: int = 2,
+                 max_steps: int | None = None, **kwargs):
+        self.numObjs = numObjs
+        if max_steps is None:
+            max_steps = 5 * size**2  # gotoobject.py:29
+        super().__init__(grid_size=size, see_through_walls=True,
+                         max_steps=max_steps, **kwargs)
+
+    def generate(self, key: jnp.ndarray, params: EnvParams) -> EnvState:
+        w, h = params.width, params.height
+        keys = jax.random.split(key, self.numObjs + 5)
+
+        grid = empty_grid(w, h)
+        grid = G.wall_rect(grid, 0, 0, w, h)
+
+        # Distinct (type, color) pairs (gotoobject.py:52-81).
+        objs = distinct_type_colors(keys[0], self.numObjs, _TYPE_IDS)
+        positions = []
+        for i in range(self.numObjs):
+            triple = jnp.concatenate(
+                [objs[i], jnp.zeros((1,), jnp.int32)]
+            ).astype(jnp.uint8)
+            grid, pos, _ = G.place_obj(keys[i + 1], grid, triple)
+            positions.append(pos)
+        positions = jnp.stack(positions)
+
+        _, agent_pos, _ = G.place_obj(keys[-4], grid, None)
+        agent_dir = jax.random.randint(keys[-3], (), 0, 4, dtype=jnp.int32)
+
+        tgt = jax.random.randint(keys[-2], (), 0, self.numObjs)
+        mission = jnp.stack([objs[tgt, 1], objs[tgt, 0],
+                             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)])
+        return base_state(grid, agent_pos, agent_dir, rng=keys[-1],
+                          mission=mission, extra=positions[tgt])
+
+    def post_step(self, state, action, reward, terminated, outcome, params):
+        # done within the 8-neighborhood pays; toggle terminates
+        # (gotoobject.py:95-111).
+        d = jnp.abs(state.agent_pos - state.extra)
+        near = (d[0] <= 1) & (d[1] <= 1)
+        is_done = action == DONE
+        reward = jnp.where(is_done & near, self.task_reward(state, params), reward)
+        terminated = terminated | is_done | (action == TOGGLE)
+        return state, reward, terminated
+
+    def mission_text(self, mission) -> str:
+        return (
+            f"go to the {C.IDX_TO_COLOR[int(mission[0])]} "
+            f"{C.IDX_TO_OBJECT[int(mission[1])]}"
+        )

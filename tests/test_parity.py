@@ -63,6 +63,131 @@ def test_doorkey_parity(seed):
     _lockstep(RefDoorKey(size=8), DoorKeyEnv(size=8), seed)
 
 
+def _fetch_extra(ref):
+    import jax.numpy as jnp
+
+    from minigrid_tpu.core import constants as C
+
+    return jnp.asarray(
+        [C.OBJECT_TO_IDX[ref.targetType], C.COLOR_TO_IDX[ref.targetColor]],
+        dtype=jnp.int32,
+    )
+
+
+def _gotodoor_extra(ref):
+    import jax.numpy as jnp
+
+    return jnp.asarray(ref.target_pos, dtype=jnp.int32)
+
+
+def _gotoobject_extra(ref):
+    import jax.numpy as jnp
+
+    return jnp.asarray(ref.target_pos, dtype=jnp.int32)
+
+
+def _putnear_extra(ref):
+    import jax.numpy as jnp
+
+    from minigrid_tpu.core import constants as C
+
+    return {
+        "move": jnp.asarray(
+            [C.OBJECT_TO_IDX[ref.move_type], C.COLOR_TO_IDX[ref.moveColor]],
+            dtype=jnp.int32,
+        ),
+        "target_pos": jnp.asarray(ref.target_pos, dtype=jnp.int32),
+    }
+
+
+def _redblue_extra(ref):
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from minigrid_tpu.core import constants as C
+
+    enc = np.asarray(ref.grid.encode())
+    doors = np.argwhere(enc[..., 0] == C.OBJECT_TO_IDX["door"])
+    red = [p for p in doors if enc[p[0], p[1], 1] == C.COLOR_TO_IDX["red"]][0]
+    blue = [p for p in doors if enc[p[0], p[1], 1] == C.COLOR_TO_IDX["blue"]][0]
+    return {
+        "red_pos": jnp.asarray(red, dtype=jnp.int32),
+        "blue_pos": jnp.asarray(blue, dtype=jnp.int32),
+    }
+
+
+def _memory_extra(ref):
+    import jax.numpy as jnp
+
+    return {
+        "success_pos": jnp.asarray(ref.success_pos, dtype=jnp.int32),
+        "failure_pos": jnp.asarray(ref.failure_pos, dtype=jnp.int32),
+    }
+
+
+def _task_env_cases():
+    """(ref_env_factory, tpu_env_factory, extra_builder) triples."""
+    import minigrid.envs as R
+
+    import minigrid_tpu.envs as E
+
+    return {
+        "fetch": (lambda: R.FetchEnv(size=8, numObjs=3),
+                  lambda: E.FetchEnv(size=8, numObjs=3), _fetch_extra),
+        "gotodoor": (lambda: R.GoToDoorEnv(size=6),
+                     lambda: E.GoToDoorEnv(size=6), _gotodoor_extra),
+        "gotoobject": (lambda: R.GoToObjectEnv(size=8, numObjs=2),
+                       lambda: E.GoToObjectEnv(size=8, numObjs=2),
+                       _gotoobject_extra),
+        "putnear": (lambda: R.PutNearEnv(size=8, numObjs=3),
+                    lambda: E.PutNearEnv(size=8, numObjs=3), _putnear_extra),
+        "redblue": (lambda: R.RedBlueDoorEnv(size=6),
+                    lambda: E.RedBlueDoorEnv(size=6), _redblue_extra),
+        "memory": (lambda: R.MemoryEnv(size=9),
+                   lambda: E.MemoryEnv(size=9), _memory_extra),
+    }
+
+
+@requires_reference
+@pytest.mark.parametrize("case", ["fetch", "gotodoor", "gotoobject", "putnear",
+                                  "redblue", "memory"])
+@pytest.mark.parametrize("seed", range(3))
+def test_task_env_parity(case, seed):
+    """Behavior parity for task-reward envs: lower the reference episode to an
+    EnvState (plus task extras) and lockstep-step both over random actions."""
+    ref_f, env_f, extra_b = _task_env_cases()[case]
+    ref = ref_f()
+    env = env_f()
+    params = env.default_params
+    obs_ref, _ = ref.reset(seed=seed)
+    state = from_reference(ref).replace(extra=extra_b(ref))
+    obs = env.observation(state, params)
+    np.testing.assert_array_equal(obs_ref["image"], np.asarray(obs["image"]))
+
+    step = jax.jit(lambda s, a: env.step(s, a, params))
+    rng = np.random.default_rng(seed)
+    episodes = 0
+    for t in range(300):
+        a = int(rng.integers(0, 8))
+        o_r, r_r, term_r, trunc_r, _ = ref.step(a)
+        o, state, r, term, trunc, _ = step(state, jnp.int32(a))
+        assert np.array_equal(o_r["image"], np.asarray(o["image"])), (case, t, a)
+        assert abs(r_r - float(r)) < 1e-6, (case, t, a, r_r, float(r))
+        assert term_r == bool(term) and trunc_r == bool(trunc), (case, t, a)
+        if term_r or trunc_r:
+            episodes += 1
+            if episodes >= 3:
+                break
+            obs_ref, _ = ref.reset(seed=seed + 1000 * episodes)
+            state = from_reference(ref).replace(extra=extra_b(ref))
+    # memory's T-maze and redblue's 720-step ordering task rarely end under a
+    # random policy within 300 steps; the per-step parity asserts above are
+    # the contract that matters there.
+    if case not in ("memory", "redblue"):
+        assert episodes >= 1
+
+
 @requires_reference
 def test_empty_reset_obs_matches_reference():
     """Fixed-start Empty generation is deterministic -> reset obs must match."""
