@@ -124,6 +124,16 @@ class Env:
         """Detokenize a packed mission code to the reference's string surface."""
         return ""
 
+    def mission_codes(self):
+        """Enumerate every mission code this env can emit, as an (M, 4) int
+        array (the analogue of MissionSpace's template×placeholder product,
+        reference mission.py:28-77).  Tokenizing wrappers precompute their
+        per-mission encodings from this table.  Default: the single zero code
+        (fixed-mission envs)."""
+        import numpy as np
+
+        return np.zeros((1, 4), dtype=np.int32)
+
     # -- convenience -------------------------------------------------------------
     def split_rng(self, state: EnvState) -> tuple[EnvState, jnp.ndarray]:
         """Draw a subkey from the state's stream (for stochastic steps)."""

@@ -79,3 +79,14 @@ class FetchEnv(Env):
         color = C.IDX_TO_COLOR[int(mission[1])]
         obj = C.IDX_TO_OBJECT[int(mission[2])]
         return f"{syntax} {color} {obj}"
+
+    def mission_codes(self):
+        import numpy as np
+
+        codes = [
+            (s, c, t, 0)
+            for s in range(len(_SYNTAX))
+            for c in C.COLOR_TO_IDX.values()
+            for t in (C.OBJECT_TO_IDX["key"], C.OBJECT_TO_IDX["ball"])
+        ]
+        return np.asarray(codes, dtype=np.int32)

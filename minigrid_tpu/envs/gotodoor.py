@@ -91,3 +91,10 @@ class GoToDoorEnv(Env):
 
     def mission_text(self, mission) -> str:
         return f"go to the {C.IDX_TO_COLOR[int(mission[0])]} door"
+
+    def mission_codes(self):
+        import numpy as np
+
+        return np.asarray(
+            [(c, 0, 0, 0) for c in C.COLOR_TO_IDX.values()], dtype=np.int32
+        )

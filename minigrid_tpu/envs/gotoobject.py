@@ -76,3 +76,12 @@ class GoToObjectEnv(Env):
             f"go to the {C.IDX_TO_COLOR[int(mission[0])]} "
             f"{C.IDX_TO_OBJECT[int(mission[1])]}"
         )
+
+    def mission_codes(self):
+        import numpy as np
+
+        types = [C.OBJECT_TO_IDX[t] for t in ("key", "ball", "box")]
+        return np.asarray(
+            [(c, t, 0, 0) for c in C.COLOR_TO_IDX.values() for t in types],
+            dtype=np.int32,
+        )

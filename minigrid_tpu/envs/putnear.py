@@ -104,3 +104,18 @@ class PutNearEnv(Env):
             f"{C.IDX_TO_COLOR[int(mission[2])]} "
             f"{C.IDX_TO_OBJECT[int(mission[3])]}"
         )
+
+    def mission_codes(self):
+        import numpy as np
+
+        types = [C.OBJECT_TO_IDX[t] for t in ("key", "ball", "box")]
+        pairs = [(c, t) for c in C.COLOR_TO_IDX.values() for t in types]
+        return np.asarray(
+            [
+                (mc, mt, tc, tt)
+                for (mc, mt) in pairs
+                for (tc, tt) in pairs
+                if (mc, mt) != (tc, tt)
+            ],
+            dtype=np.int32,
+        )
