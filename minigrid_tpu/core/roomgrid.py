@@ -1,0 +1,370 @@
+"""RoomGrid layer — multi-room scaffolding as a tensor program.
+
+TPU-native re-derivation of ``minigrid/core/roomgrid.py:23-438``.  For fixed
+(num_rows, num_cols, room_size) the room lattice is static; the dynamic parts
+live in a *builder* pytree threaded through the generation program:
+
+* ``door_pos`` — one sampled cell per internal wall (roomgrid.py:147-170; the
+  reference samples a position for every wall up front, used or not),
+* ``has_door`` — connectivity flags (door object placed or wall removed),
+* ``locked`` — per-room locked flags (roomgrid.py:260),
+* ``obj_mask`` — (kind, color) combos present, for distractor uniqueness.
+
+``connect_all``'s sample-until-reachable loop (roomgrid.py:336-394) becomes a
+fueled ``lax.while_loop`` whose body recomputes room reachability as a
+bounded boolean flood over the (≤ rows×cols)-node room graph.  The RoomGrid
+``place_agent`` retry ("not facing an object", roomgrid.py:313-334) becomes a
+single masked draw over the (cell × direction) product space.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from minigrid_tpu.core import constants as C
+from minigrid_tpu.core import grid_ops as G
+from minigrid_tpu.core.env import Env
+from minigrid_tpu.core.sampling import SORTED_COLOR_IDS, rand_color
+from minigrid_tpu.core.state import EnvParams
+
+_DOOR = C.OBJECT_TO_IDX["door"]
+_KIND_IDS = np.asarray(
+    [C.OBJECT_TO_IDX["key"], C.OBJECT_TO_IDX["ball"], C.OBJECT_TO_IDX["box"]],
+    dtype=np.int32,
+)
+
+
+class RoomGridEnv(Env):
+    """Base class for multi-room envs.  Subclasses call the builder API inside
+    :meth:`generate`."""
+
+    def __init__(self, room_size: int = 7, num_rows: int = 3, num_cols: int = 3,
+                 max_steps: int = 100, agent_view_size: int = 7, **kwargs):
+        assert room_size >= 3 and num_rows > 0 and num_cols > 0
+        self.room_size = room_size
+        self.num_rows = num_rows
+        self.num_cols = num_cols
+        height = (room_size - 1) * num_rows + 1
+        width = (room_size - 1) * num_cols + 1
+        super().__init__(width=width, height=height, max_steps=max_steps,
+                         see_through_walls=False, agent_view_size=agent_view_size,
+                         **kwargs)
+        self._build_wall_tables()
+
+    # ------------------------------------------------------------------ #
+    # static lattice geometry
+    # ------------------------------------------------------------------ #
+
+    def _build_wall_tables(self):
+        """Static wall enumeration: horizontal-neighbor walls first
+        (right of room (i,j), i<cols-1), then vertical-neighbor walls
+        (below room (i,j), j<rows-1)."""
+        rows, cols, s = self.num_rows, self.num_cols, self.room_size
+        self.num_h_walls = rows * (cols - 1)
+        self.num_v_walls = (rows - 1) * cols
+        self.num_walls = self.num_h_walls + self.num_v_walls
+        r1, r2 = [], []
+        for j in range(rows):
+            for i in range(cols - 1):
+                r1.append(j * cols + i)
+                r2.append(j * cols + i + 1)
+        for j in range(rows - 1):
+            for i in range(cols):
+                r1.append(j * cols + i)
+                r2.append((j + 1) * cols + i)
+        self._wall_r1 = jnp.asarray(r1, dtype=jnp.int32)
+        self._wall_r2 = jnp.asarray(r2, dtype=jnp.int32)
+
+    def room_top(self, i, j):
+        s = self.room_size
+        return (jnp.asarray(i) * (s - 1), jnp.asarray(j) * (s - 1))
+
+    def h_wall_id(self, i, j):
+        """Wall right of room (i, j)."""
+        return jnp.asarray(j) * (self.num_cols - 1) + jnp.asarray(i)
+
+    def v_wall_id(self, i, j):
+        """Wall below room (i, j)."""
+        return self.num_h_walls + jnp.asarray(j) * self.num_cols + jnp.asarray(i)
+
+    def wall_id_for(self, i, j, k):
+        """(room i, j, door side k∈{0:right,1:down,2:left,3:up}) -> (wall id,
+        valid).  Works with traced values (connect_all samples k)."""
+        i, j, k = (jnp.asarray(x, jnp.int32) for x in (i, j, k))
+        wid = jnp.where(
+            k == 0, self.h_wall_id(i, j),
+            jnp.where(k == 2, self.h_wall_id(i - 1, j),
+                      jnp.where(k == 1, self.v_wall_id(i, j),
+                                self.v_wall_id(i, j - 1))))
+        valid = jnp.where(
+            k == 0, i < self.num_cols - 1,
+            jnp.where(k == 2, i > 0,
+                      jnp.where(k == 1, j < self.num_rows - 1, j > 0)))
+        return jnp.clip(wid, 0, self.num_walls - 1), valid
+
+    # ------------------------------------------------------------------ #
+    # builder construction (RoomGrid._gen_grid, roomgrid.py:123-179)
+    # ------------------------------------------------------------------ #
+
+    def init_rooms(self, key: jnp.ndarray, params: EnvParams) -> dict:
+        rows, cols, s = self.num_rows, self.num_cols, self.room_size
+        from minigrid_tpu.core.state import empty_grid
+
+        grid = empty_grid(params.width, params.height)
+        # All room wall rects (roomgrid.py:142).
+        for j in range(rows):
+            for i in range(cols):
+                grid = G.wall_rect(grid, i * (s - 1), j * (s - 1), s, s)
+
+        # Sample a door slot on every internal wall (roomgrid.py:158-164).
+        key, k_h, k_v = jax.random.split(key, 3)
+        door_pos = jnp.zeros((self.num_walls, 2), dtype=jnp.int32)
+        hk = jax.random.split(k_h, max(self.num_h_walls, 1))
+        w = 0
+        for j in range(rows):
+            for i in range(cols - 1):
+                x = (i + 1) * (s - 1)
+                y = j * (s - 1) + jax.random.randint(hk[w - 0], (), 1, s - 1)
+                door_pos = door_pos.at[w].set(jnp.stack([x, y]))
+                w += 1
+        vk = jax.random.split(k_v, max(self.num_v_walls, 1))
+        for j in range(rows - 1):
+            for i in range(cols):
+                y = (j + 1) * (s - 1)
+                x = i * (s - 1) + jax.random.randint(vk[w - self.num_h_walls], (), 1, s - 1)
+                door_pos = door_pos.at[w].set(jnp.stack([x, y]))
+                w += 1
+
+        # Agent starts mid-grid facing right (roomgrid.py:172-179).
+        mid = jnp.stack([
+            jnp.asarray((cols // 2) * (s - 1) + s // 2, jnp.int32),
+            jnp.asarray((rows // 2) * (s - 1) + s // 2, jnp.int32),
+        ])
+        return {
+            "grid": grid,
+            "door_pos": door_pos,
+            "has_door": jnp.zeros((self.num_walls,), dtype=bool),
+            "locked": jnp.zeros((rows * cols,), dtype=bool),
+            "obj_mask": jnp.zeros((3 * 10,), dtype=bool),  # kind×color combos
+            "agent_pos": mid,
+            "agent_dir": jnp.asarray(0, jnp.int32),
+        }
+
+    # ------------------------------------------------------------------ #
+    # builder ops
+    # ------------------------------------------------------------------ #
+
+    def room_rect_mask(self, params: EnvParams, i, j) -> jnp.ndarray:
+        tx, ty = self.room_top(i, j)
+        return G.rect_mask(params.width, params.height, (tx, ty),
+                           (self.room_size, self.room_size))
+
+    def add_door(self, b: dict, key: jnp.ndarray, i, j, door_idx,
+                 color=None, locked=None) -> tuple[dict, jnp.ndarray, jnp.ndarray]:
+        """Place a door on wall `door_idx` of room (i, j)
+        (roomgrid.py:230-274).  Returns (builder, door_triple, door_pos)."""
+        k_c, k_l = jax.random.split(key)
+        if color is None:
+            color = rand_color(k_c)
+        color = jnp.asarray(color, jnp.int32)
+        if locked is None:
+            locked = jax.random.randint(k_l, (), 0, 2) == 0  # _rand_bool
+        locked = jnp.asarray(locked)
+
+        wid, _ = self.wall_id_for(i, j, door_idx)
+        pos = b["door_pos"][wid]
+        state = jnp.where(locked, C.STATE_TO_IDX["locked"], C.STATE_TO_IDX["closed"])
+        triple = jnp.stack([jnp.asarray(_DOOR, jnp.int32), color, state]).astype(jnp.uint8)
+        room = jnp.asarray(j, jnp.int32) * self.num_cols + jnp.asarray(i, jnp.int32)
+        b = dict(b)
+        b["grid"] = G.put(b["grid"], pos[0], pos[1], triple)
+        b["has_door"] = b["has_door"].at[wid].set(True)
+        # room.locked = locked — unconditional assignment (roomgrid.py:260)
+        b["locked"] = b["locked"].at[room].set(locked)
+        return b, triple, pos
+
+    def remove_wall(self, b: dict, i: int, j: int, wall_idx: int) -> dict:
+        """Open a whole wall between two rooms (roomgrid.py:276-311).
+        i, j, wall_idx must be static (they always are in the env zoo)."""
+        s = self.room_size
+        tx, ty = i * (s - 1), j * (s - 1)
+        b = dict(b)
+        g = b["grid"]
+        if wall_idx == 0:
+            g = G.vert_wall(g, tx + s - 1, ty + 1, s - 2, C.EMPTY_TRIPLE)
+        elif wall_idx == 1:
+            g = G.horz_wall(g, tx + 1, ty + s - 1, s - 2, C.EMPTY_TRIPLE)
+        elif wall_idx == 2:
+            g = G.vert_wall(g, tx, ty + 1, s - 2, C.EMPTY_TRIPLE)
+        elif wall_idx == 3:
+            g = G.horz_wall(g, tx + 1, ty, s - 2, C.EMPTY_TRIPLE)
+        else:
+            raise ValueError("invalid wall index")
+        b["grid"] = g
+        wid, _ = self.wall_id_for(i, j, wall_idx)
+        b["has_door"] = b["has_door"].at[wid].set(True)
+        return b
+
+    def place_in_room(self, b: dict, key: jnp.ndarray, params: EnvParams,
+                      i, j, triple) -> tuple[dict, jnp.ndarray, jnp.ndarray]:
+        """place_in_room with the reject_next_to filter (roomgrid.py:181-196,
+        11-20): uniform over empty room cells at manhattan distance >= 2 from
+        the agent."""
+        xs, ys = G.coords(params.width, params.height)
+        near_agent = (jnp.abs(xs - b["agent_pos"][0])
+                      + jnp.abs(ys - b["agent_pos"][1])) < 2
+        mask = (G.is_empty(b["grid"]) & self.room_rect_mask(params, i, j)
+                & ~near_agent)
+        pos, ok = G.sample_cell(key, mask)
+        b = dict(b)
+        b["grid"] = b["grid"].at[pos[0], pos[1]].set(
+            jnp.where(ok, jnp.asarray(triple, jnp.uint8), b["grid"][pos[0], pos[1]])
+        )
+        return b, pos, ok
+
+    def add_object(self, b: dict, key: jnp.ndarray, params: EnvParams, i, j,
+                   kind=None, color=None) -> tuple[dict, jnp.ndarray, jnp.ndarray]:
+        """Add a key/ball/box to room (i, j) (roomgrid.py:198-228).
+        kind: None | 'key' | 'ball' | 'box' | traced local kind index (0/1/2).
+        Returns (builder, triple, pos)."""
+        k_kind, k_color, k_pos = jax.random.split(key, 3)
+        if kind is None:
+            kind_local = jax.random.randint(k_kind, (), 0, 3)
+        elif isinstance(kind, str):
+            kind_local = jnp.asarray({"key": 0, "ball": 1, "box": 2}[kind])
+        else:
+            kind_local = jnp.asarray(kind, jnp.int32)
+        if color is None:
+            color = rand_color(k_color)
+        color = jnp.asarray(color, jnp.int32)
+        t = jnp.asarray(_KIND_IDS)[kind_local]
+        triple = jnp.stack([t, color, jnp.zeros((), jnp.int32)]).astype(jnp.uint8)
+        b, pos, _ = self.place_in_room(b, k_pos, params, i, j, triple)
+        # record (kind, color-name-rank) for distractor uniqueness
+        color_rank = jnp.argmax(SORTED_COLOR_IDS == color)
+        b["obj_mask"] = b["obj_mask"].at[kind_local * 10 + color_rank].set(True)
+        return b, triple, pos
+
+    def place_agent_in_room(self, b: dict, key: jnp.ndarray, params: EnvParams,
+                            i, j) -> dict:
+        """RoomGrid.place_agent (roomgrid.py:313-334): uniform over (cell,
+        direction) pairs where the cell is empty and the front cell is empty
+        or a wall."""
+        w, h = params.width, params.height
+        room = self.room_rect_mask(params, i, j)
+        empty = G.is_empty(b["grid"]) & room
+        types = b["grid"][..., 0].astype(jnp.int32)
+        ok_dirs = []
+        for d in range(4):
+            dx, dy = int(C.DIR_TO_VEC[d][0]), int(C.DIR_TO_VEC[d][1])
+            front = jnp.roll(types, (-dx, -dy), axis=(0, 1))
+            # grid borders are always walls, so rolled wrap-around cells are
+            # never selected from inside a room
+            ok_dirs.append(
+                (front == C.OBJECT_TO_IDX["empty"])
+                | (front == C.OBJECT_TO_IDX["wall"])
+            )
+        ok = jnp.stack(ok_dirs, axis=-1) & empty[..., None]  # (W, H, 4)
+        flat = ok.reshape(-1)
+        any_valid = jnp.any(flat)
+        logits = jnp.where(flat, 0.0, -jnp.inf)
+        logits = jnp.where(any_valid, logits, jnp.zeros_like(logits))
+        idx = jax.random.categorical(key, logits)
+        d = idx % 4
+        cell = idx // 4
+        pos = jnp.stack([cell // h, cell % h]).astype(jnp.int32)
+        b = dict(b)
+        b["agent_pos"] = pos
+        b["agent_dir"] = d.astype(jnp.int32)
+        return b
+
+    def connect_all(self, b: dict, key: jnp.ndarray,
+                    max_itrs: int = 64) -> dict:
+        """Add random unlocked doors until every room is reachable from the
+        agent's room (roomgrid.py:336-394), as a fueled while_loop.
+
+        The reference's loop is pure rejection (most iterations skip); the
+        fuel bound here is lower because every accepted draw strictly grows
+        the door set (≤ num_walls acceptances needed) and rejected draws are
+        cheap retries inside the loop."""
+        rows, cols = self.num_rows, self.num_cols
+        n_rooms = rows * cols
+        start_room = (
+            b["agent_pos"][1] // (self.room_size - 1) * cols
+            + b["agent_pos"][0] // (self.room_size - 1)
+        )
+
+        r1, r2 = self._wall_r1, self._wall_r2
+
+        def reach_all(has_door):
+            reach = jnp.zeros((n_rooms,), bool).at[start_room].set(True)
+
+            def body(_, reach):
+                hit1 = jnp.zeros((n_rooms,), bool).at[r2].max(has_door & reach[r1])
+                hit2 = jnp.zeros((n_rooms,), bool).at[r1].max(has_door & reach[r2])
+                return reach | hit1 | hit2
+
+            reach = jax.lax.fori_loop(0, n_rooms, body, reach)
+            return jnp.all(reach)
+
+        def cond(carry):
+            grid, has_door, rng, itr = carry
+            return (~reach_all(has_door)) & (itr < max_itrs)
+
+        def body(carry):
+            grid, has_door, rng, itr = carry
+            rng, k_i, k_j, k_k, k_c = jax.random.split(rng, 5)
+            i = jax.random.randint(k_i, (), 0, cols)
+            j = jax.random.randint(k_j, (), 0, rows)
+            k = jax.random.randint(k_k, (), 0, 4)
+            wid, valid = self.wall_id_for(i, j, k)
+            room = j * cols + i
+            neighbor = jnp.where(r1[wid] == room, r2[wid], r1[wid])
+            ok = (valid & ~has_door[wid]
+                  & ~b["locked"][room] & ~b["locked"][neighbor])
+            color = rand_color(k_c)
+            pos = b["door_pos"][wid]
+            door = jnp.stack([
+                jnp.asarray(_DOOR, jnp.int32), color,
+                jnp.asarray(C.STATE_TO_IDX["closed"], jnp.int32)
+            ]).astype(jnp.uint8)
+            new_grid = grid.at[pos[0], pos[1]].set(
+                jnp.where(ok, door, grid[pos[0], pos[1]])
+            )
+            return (new_grid, has_door.at[wid].max(ok), rng, itr + 1)
+
+        grid, has_door, _, _ = jax.lax.while_loop(
+            cond, body, (b["grid"], b["has_door"], key, jnp.asarray(0, jnp.int32))
+        )
+        b = dict(b)
+        b["grid"] = grid
+        b["has_door"] = has_door
+        return b
+
+    def add_distractors(self, b: dict, key: jnp.ndarray, params: EnvParams,
+                        i=None, j=None, num_distractors: int = 10,
+                        all_unique: bool = True) -> tuple[dict, jnp.ndarray]:
+        """Random key/ball/box distractors (roomgrid.py:396-438).  The
+        uniqueness rejection loop becomes a masked draw over the 30
+        (kind, color) combos, excluding combos already present.
+        Returns (builder, (num, 2) array of the (type_id, color_id) added)."""
+        added = []
+        for n in range(num_distractors):
+            key, k_tc, k_i, k_j, k_pos = jax.random.split(key, 5)
+            if all_unique:
+                avail = ~b["obj_mask"]
+                logits = jnp.where(avail, 0.0, -jnp.inf)
+                combo = jax.random.categorical(k_tc, logits)
+            else:
+                combo = jax.random.randint(k_tc, (), 0, 30)
+            kind_local = combo // 10
+            color = SORTED_COLOR_IDS[combo % 10]
+            ri = jax.random.randint(k_i, (), 0, self.num_cols) if i is None else i
+            rj = jax.random.randint(k_j, (), 0, self.num_rows) if j is None else j
+            b, triple, _ = self.add_object(b, k_pos, params, ri, rj,
+                                           kind=kind_local, color=color)
+            added.append(triple[:2].astype(jnp.int32))
+        return b, (jnp.stack(added) if added else jnp.zeros((0, 2), jnp.int32))

@@ -7,6 +7,7 @@ switch by changing only the import.
 
 from __future__ import annotations
 
+from minigrid_tpu.envs.blockedunlockpickup import BlockedUnlockPickupEnv
 from minigrid_tpu.envs.crossing import CrossingEnv
 from minigrid_tpu.envs.distshift import DistShiftEnv
 from minigrid_tpu.envs.doorkey import DoorKeyEnv
@@ -16,10 +17,24 @@ from minigrid_tpu.envs.fetch import FetchEnv
 from minigrid_tpu.envs.fourrooms import FourRoomsEnv
 from minigrid_tpu.envs.gotodoor import GoToDoorEnv
 from minigrid_tpu.envs.gotoobject import GoToObjectEnv
+from minigrid_tpu.envs.keycorridor import KeyCorridorEnv
 from minigrid_tpu.envs.lavagap import LavaGapEnv
+from minigrid_tpu.envs.lockedroom import LockedRoomEnv
 from minigrid_tpu.envs.memory import MemoryEnv
+from minigrid_tpu.envs.multiroom import MultiRoomEnv
+from minigrid_tpu.envs.obstructedmaze import (
+    ObstructedMaze_1Dlhb,
+    ObstructedMaze_2Dl,
+    ObstructedMaze_2Dlh,
+    ObstructedMaze_2Dlhb,
+    ObstructedMaze_Full,
+    ObstructedMazeEnv,
+)
 from minigrid_tpu.envs.putnear import PutNearEnv
+from minigrid_tpu.envs.playground import PlaygroundEnv
 from minigrid_tpu.envs.redbluedoors import RedBlueDoorEnv
+from minigrid_tpu.envs.unlock import UnlockEnv
+from minigrid_tpu.envs.unlockpickup import UnlockPickupEnv
 from minigrid_tpu.registry import register
 
 # --- Empty (minigrid/__init__.py:141-186) ----------------------------------
@@ -105,8 +120,55 @@ register("MiniGrid-PutNear-8x8-N3-v0", PutNearEnv, size=8, numObjs=3)
 register("MiniGrid-RedBlueDoors-6x6-v0", RedBlueDoorEnv, size=6)
 register("MiniGrid-RedBlueDoors-8x8-v0", RedBlueDoorEnv, size=8)
 
+# --- KeyCorridor (minigrid/__init__.py:265-297) --------------------------------
+register("MiniGrid-KeyCorridorS3R1-v0", KeyCorridorEnv, room_size=3, num_rows=1)
+register("MiniGrid-KeyCorridorS3R2-v0", KeyCorridorEnv, room_size=3, num_rows=2)
+register("MiniGrid-KeyCorridorS3R3-v0", KeyCorridorEnv, room_size=3, num_rows=3)
+register("MiniGrid-KeyCorridorS4R3-v0", KeyCorridorEnv, room_size=4, num_rows=3)
+register("MiniGrid-KeyCorridorS5R3-v0", KeyCorridorEnv, room_size=5, num_rows=3)
+register("MiniGrid-KeyCorridorS6R3-v0", KeyCorridorEnv, room_size=6, num_rows=3)
+
+# --- LockedRoom (minigrid/__init__.py:327) --------------------------------------
+register("MiniGrid-LockedRoom-v0", LockedRoomEnv)
+
+# --- MultiRoom (minigrid/__init__.py:372-388) ------------------------------------
+register("MiniGrid-MultiRoom-N2-S4-v0", MultiRoomEnv, minNumRooms=2,
+         maxNumRooms=2, maxRoomSize=4)
+register("MiniGrid-MultiRoom-N4-S5-v0", MultiRoomEnv, minNumRooms=6,
+         maxNumRooms=6, maxRoomSize=5)
+register("MiniGrid-MultiRoom-N6-v0", MultiRoomEnv, minNumRooms=6, maxNumRooms=6)
+
+# --- Playground (minigrid/__init__.py:482) ----------------------------------------
+register("MiniGrid-Playground-v0", PlaygroundEnv)
+
+# --- ObstructedMaze (minigrid/__init__.py:389-480) -------------------------------
+register("MiniGrid-ObstructedMaze-1Dl-v0", ObstructedMaze_1Dlhb,
+         key_in_box=False, blocked=False)
+register("MiniGrid-ObstructedMaze-1Dlh-v0", ObstructedMaze_1Dlhb,
+         key_in_box=True, blocked=False)
+register("MiniGrid-ObstructedMaze-1Dlhb-v0", ObstructedMaze_1Dlhb)
+register("MiniGrid-ObstructedMaze-2Dl-v0", ObstructedMaze_2Dl)
+register("MiniGrid-ObstructedMaze-2Dlh-v0", ObstructedMaze_2Dlh)
+register("MiniGrid-ObstructedMaze-2Dlhb-v0", ObstructedMaze_2Dlhb)
+register("MiniGrid-ObstructedMaze-1Q-v0", ObstructedMaze_Full,
+         agent_room=(1, 1), key_in_box=True, blocked=True, num_quarters=1,
+         num_rooms_visited=5)
+register("MiniGrid-ObstructedMaze-2Q-v0", ObstructedMaze_Full,
+         agent_room=(1, 1), key_in_box=True, blocked=True, num_quarters=2,
+         num_rooms_visited=11)
+register("MiniGrid-ObstructedMaze-Full-v0", ObstructedMaze_Full)
+
+# --- Unlock family (minigrid/__init__.py:27, 513, 519) --------------------------
+register("MiniGrid-Unlock-v0", UnlockEnv)
+register("MiniGrid-UnlockPickup-v0", UnlockPickupEnv)
+register("MiniGrid-BlockedUnlockPickup-v0", BlockedUnlockPickupEnv)
+
 __all__ = [
+    "BlockedUnlockPickupEnv",
     "CrossingEnv",
+    "KeyCorridorEnv",
+    "UnlockEnv",
+    "UnlockPickupEnv",
     "DistShiftEnv",
     "DoorKeyEnv",
     "DynamicObstaclesEnv",

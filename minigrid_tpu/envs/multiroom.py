@@ -1,0 +1,213 @@
+"""MultiRoomEnv — a chain of connected rooms ending in a goal.
+
+TPU-native re-derivation of ``minigrid/envs/multiroom.py:18-281``.  The
+reference's recursive backtracking placement (``_placeRoom``,
+multiroom.py:187-281) flattens to an iterative fueled chain builder:
+
+* one *chain attempt* is a ``lax.while_loop`` placing rooms one at a time —
+  each iteration samples an exit door from the previous room, a room size,
+  and a top-left corner by the entry-wall rule (multiroom.py:192-212),
+  accepts if in-bounds (with the reference's asymmetric bound checks,
+  multiroom.py:215-218) and non-overlapping with all rooms except the
+  predecessor (multiroom.py:221-232), and gives up after 8 failed tries at
+  one depth (multiroom.py:245) — exactly the reference's retry budget;
+* the outer retry ("keep the longest chain", multiroom.py:117-135) becomes a
+  bounded best-of-A loop.
+
+Rasterization (walls, chain doors with distinct-from-previous colors,
+multiroom.py:141-177) runs as masked writes over the padded room arrays.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from minigrid_tpu.core import constants as C
+from minigrid_tpu.core import grid_ops as G
+from minigrid_tpu.core.env import Env
+from minigrid_tpu.core.sampling import SORTED_COLOR_IDS
+from minigrid_tpu.core.state import EnvParams, EnvState, base_state, empty_grid
+
+_DOOR = C.OBJECT_TO_IDX["door"]
+
+
+class MultiRoomEnv(Env):
+    name = "MultiRoom"
+
+    def __init__(self, minNumRooms: int, maxNumRooms: int, maxRoomSize: int = 10,
+                 max_steps: int | None = None, num_attempts: int = 16, **kwargs):
+        assert minNumRooms > 0 and maxNumRooms >= minNumRooms and maxRoomSize >= 4
+        self.minNumRooms = minNumRooms
+        self.maxNumRooms = maxNumRooms
+        self.maxRoomSize = maxRoomSize
+        self.num_attempts = num_attempts
+        if max_steps is None:
+            max_steps = maxNumRooms * 20  # multiroom.py:98
+        super().__init__(grid_size=25, max_steps=max_steps, **kwargs)
+
+    # ------------------------------------------------------------------ #
+
+    def _chain_attempt(self, key: jnp.ndarray, num_rooms: jnp.ndarray,
+                       width: int, height: int):
+        """Build one room chain; returns (tops, sizes, entries, count)."""
+        n = self.maxNumRooms
+        min_sz, max_sz = 4, self.maxRoomSize
+
+        def cond(c):
+            return (c["count"] < num_rooms) & (c["tries"] < 8)
+
+        def body(c):
+            rng = c["rng"]
+            rng, k_exit, k_epos, k_sx, k_sy, k_top = jax.random.split(rng, 6)
+            first = c["count"] == 0
+
+            # --- exit door from the previous room (multiroom.py:247-268) ---
+            prev_top = c["tops"][jnp.maximum(c["count"] - 1, 0)]
+            prev_size = c["sizes"][jnp.maximum(c["count"] - 1, 0)]
+            # pick exit wall != previous room's entry wall
+            i3 = jax.random.randint(k_exit, (), 0, 3)
+            exit_wall = i3 + (i3 >= c["entry_wall"])
+            off_x = 1 + jax.random.randint(k_epos, (), 0, prev_size[0] - 2)
+            off_y = 1 + jax.random.randint(jax.random.fold_in(k_epos, 1), (),
+                                           0, prev_size[1] - 2)
+            exit_pos = jnp.stack([
+                jnp.where(exit_wall == 0, prev_top[0] + prev_size[0] - 1,
+                          jnp.where(exit_wall == 2, prev_top[0],
+                                    prev_top[0] + off_x)),
+                jnp.where(exit_wall == 1, prev_top[1] + prev_size[1] - 1,
+                          jnp.where(exit_wall == 3, prev_top[1],
+                                    prev_top[1] + off_y)),
+            ])
+            entry_wall = (exit_wall + 2) % 4
+            epos = jnp.where(first, c["epos"], exit_pos)
+            wall = jnp.where(first, jnp.asarray(2), entry_wall)
+
+            # --- room size + top by entry-wall rule (multiroom.py:187-212) ---
+            sx = jax.random.randint(k_sx, (), min_sz, max_sz + 1)
+            sy = jax.random.randint(k_sy, (), min_sz, max_sz + 1)
+            r1 = jax.random.randint(k_top, (), 0, 1 << 30)
+            span = lambda lo, hi: lo + r1 % jnp.maximum(hi - lo, 1)  # noqa: E731
+            # rand_int bounds are exclusive of epos (multiroom.py:196-212) —
+            # the entry door must not land on a room corner.
+            top_x = jnp.where(
+                wall == 0, epos[0] - sx + 1,
+                jnp.where(wall == 2, epos[0],
+                          span(epos[0] - sx + 2, epos[0])))
+            top_y = jnp.where(
+                wall == 1, epos[1] - sy + 1,
+                jnp.where(wall == 3, epos[1],
+                          span(epos[1] - sy + 2, epos[1])))
+            top_x = jnp.where(first, epos[0], top_x)
+            top_y = jnp.where(first, epos[1], top_y)
+
+            # --- validity (multiroom.py:215-232) ----------------------------
+            in_bounds = ((top_x >= 0) & (top_y >= 0)
+                         & (top_x + sx <= width) & (top_y + sy < height))
+            slot = jnp.arange(n)
+            prior = slot < (c["count"] - 1)  # exclude the predecessor
+            ox, oy = c["tops"][:, 0], c["tops"][:, 1]
+            osx, osy = c["sizes"][:, 0], c["sizes"][:, 1]
+            non_overlap = ((top_x + sx < ox) | (ox + osx <= top_x)
+                           | (top_y + sy < oy) | (oy + osy <= top_y))
+            valid = in_bounds & ~jnp.any(prior & ~non_overlap)
+
+            # --- commit or retry --------------------------------------------
+            idx = c["count"]
+            commit = valid
+            tops = c["tops"].at[idx].set(
+                jnp.where(commit, jnp.stack([top_x, top_y]), c["tops"][idx]))
+            sizes = c["sizes"].at[idx].set(
+                jnp.where(commit, jnp.stack([sx, sy]), c["sizes"][idx]))
+            entries = c["entries"].at[idx].set(
+                jnp.where(commit, epos, c["entries"][idx]))
+            return {
+                "tops": tops,
+                "sizes": sizes,
+                "entries": entries,
+                "count": c["count"] + commit.astype(jnp.int32),
+                "entry_wall": jnp.where(commit, wall, c["entry_wall"]),
+                "tries": jnp.where(commit, 0, c["tries"] + 1),
+                "epos": c["epos"],
+                "rng": rng,
+            }
+
+        key, k_entry = jax.random.split(key)
+        entry = jax.random.randint(k_entry, (2,), 0, width - 2)
+        init = {
+            "tops": jnp.zeros((n, 2), jnp.int32),
+            "sizes": jnp.zeros((n, 2), jnp.int32),
+            "entries": jnp.zeros((n, 2), jnp.int32),
+            "count": jnp.asarray(0, jnp.int32),
+            "entry_wall": jnp.asarray(2, jnp.int32),
+            "tries": jnp.asarray(0, jnp.int32),
+            "epos": entry,
+            "rng": key,
+        }
+        out = jax.lax.while_loop(cond, body, init)
+        return out["tops"], out["sizes"], out["entries"], out["count"]
+
+    def generate(self, key: jnp.ndarray, params: EnvParams) -> EnvState:
+        w, h = params.width, params.height
+        n = self.maxNumRooms
+        keys = jax.random.split(key, self.num_attempts + 6)
+
+        num_rooms = jax.random.randint(
+            keys[0], (), self.minNumRooms, self.maxNumRooms + 1)
+
+        # Best-of-A chain attempts (multiroom.py:117-135 keeps the longest).
+        best = self._chain_attempt(keys[1], num_rooms, w, h)
+        for a in range(1, self.num_attempts):
+            cand = self._chain_attempt(keys[1 + a], num_rooms, w, h)
+            better = cand[3] > best[3]
+            best = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(better, new, old), cand, best)
+        tops, sizes, entries, count = best
+
+        # --- rasterize rooms (multiroom.py:141-161) ---------------------------
+        grid = empty_grid(w, h)
+        xs, ys = G.coords(w, h)
+        for r in range(n):
+            active = r < count
+            inside = ((xs >= tops[r, 0]) & (xs < tops[r, 0] + sizes[r, 0])
+                      & (ys >= tops[r, 1]) & (ys < tops[r, 1] + sizes[r, 1]))
+            border = inside & ((xs == tops[r, 0])
+                               | (xs == tops[r, 0] + sizes[r, 0] - 1)
+                               | (ys == tops[r, 1])
+                               | (ys == tops[r, 1] + sizes[r, 1] - 1))
+            grid = G.set_where(grid, border & active, C.WALL_TRIPLE)
+
+        # --- chain doors, distinct from the previous color
+        #     (multiroom.py:163-177) ----------------------------------------
+        prev_color_rank = jnp.asarray(-1, jnp.int32)
+        for r in range(1, n):
+            kc = jax.random.fold_in(keys[-5], r)
+            # uniform over colors != previous (first door: all 10)
+            i9 = jax.random.randint(kc, (), 0, 9)
+            i10 = jax.random.randint(jax.random.fold_in(kc, 1), (), 0, 10)
+            rank = jnp.where(prev_color_rank < 0, i10,
+                             i9 + (i9 >= prev_color_rank))
+            active = r < count
+            door = jnp.stack([jnp.asarray(_DOOR, jnp.int32),
+                              SORTED_COLOR_IDS[rank],
+                              jnp.asarray(C.STATE_TO_IDX["closed"], jnp.int32)
+                              ]).astype(jnp.uint8)
+            pos = entries[r]
+            grid = grid.at[pos[0], pos[1]].set(
+                jnp.where(active, door, grid[pos[0], pos[1]]))
+            prev_color_rank = jnp.where(active, rank, prev_color_rank)
+
+        # --- agent in the first room, goal in the last (multiroom.py:180-183) -
+        _, agent_pos, _ = G.place_obj(keys[-4], grid, None,
+                                      top=(tops[0, 0], tops[0, 1]),
+                                      size=(sizes[0, 0], sizes[0, 1]))
+        agent_dir = jax.random.randint(keys[-3], (), 0, 4, dtype=jnp.int32)
+        last = count - 1
+        grid, _, _ = G.place_obj(keys[-2], grid, C.GOAL_TRIPLE,
+                                 agent_pos=agent_pos,
+                                 top=(tops[last, 0], tops[last, 1]),
+                                 size=(sizes[last, 0], sizes[last, 1]))
+        return base_state(grid, agent_pos, agent_dir, rng=keys[-1])
+
+    def mission_text(self, mission) -> str:
+        return "traverse the rooms to get to the goal"
