@@ -134,6 +134,17 @@ class Env:
 
         return np.zeros((1, 4), dtype=np.int32)
 
+    # -- rendering -----------------------------------------------------------
+    def get_frame(self, state: EnvState, params: EnvParams,
+                  highlight: bool = True, tile_size: int = 32,
+                  agent_pov: bool = False) -> jnp.ndarray:
+        """RGB frame of the whole grid or the agent POV
+        (MiniGridEnv.get_frame, minigrid_env.py:717-740)."""
+        from minigrid_tpu.ops.render import get_frame
+
+        return get_frame(state, params, highlight=highlight,
+                         tile_size=tile_size, agent_pov=agent_pov)
+
     # -- convenience -------------------------------------------------------------
     def split_rng(self, state: EnvState) -> tuple[EnvState, jnp.ndarray]:
         """Draw a subkey from the state's stream (for stochastic steps)."""

@@ -1,0 +1,151 @@
+"""Device-side RGB rendering as a texture-atlas gather.
+
+The reference rasterizes tiles on demand with per-pixel Python loops behind a
+dict cache (``Grid.render_tile``, grid.py:145-198).  Here the entire tile
+space — (type × color × state) × (no-agent | 4 agent directions) ×
+(plain | highlighted) — is rasterized ONCE on the host into a dense texture
+atlas, and a frame render compiles to a single gather + transpose on device:
+
+    frame[j*T:(j+1)*T, i*T:(i+1)*T] = atlas[variant(i,j), code(i,j)]
+
+Highlight variants are rasterized at supersample resolution before the
+downsample (grid.py:189-193), so tiles are pixel-exact vs the reference.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from minigrid_tpu.core import constants as C
+from minigrid_tpu.core.obs import gen_obs_grid, view_world_coords
+from minigrid_tpu.core.state import EnvParams, EnvState
+from minigrid_tpu.utils import rendering as R
+
+NUM_CODES = C.NUM_OBJECT_TYPES * C.NUM_COLORS * 3  # 34 * 11 * 3
+NUM_VARIANTS = 10  # (plain | highlight) x (none | 4 agent dirs)
+
+_atlas_cache: dict[int, jnp.ndarray] = {}
+
+
+def _build_atlas_np(tile_size: int, subdivs: int = 3) -> np.ndarray:
+    """(NUM_VARIANTS, NUM_CODES, T, T, 3) uint8 texture atlas."""
+    ss = tile_size * subdivs
+    atlas = np.zeros((NUM_VARIANTS, NUM_CODES, tile_size, tile_size, 3),
+                     dtype=np.uint8)
+    base = np.zeros((ss, ss, 3), dtype=np.uint8)
+    for t in range(C.NUM_OBJECT_TYPES):
+        for c in range(C.NUM_COLORS):
+            for s in range(3):
+                code = (t * C.NUM_COLORS + c) * 3 + s
+                base[:] = 0
+                R.fill(base, R.rect(0, 0.031, 0, 1), (100, 100, 100))
+                R.fill(base, R.rect(0, 1, 0, 0.031), (100, 100, 100))
+                try:
+                    R.paint_object(base, t, c, s)
+                except (ValueError, KeyError):
+                    pass  # codes with no painter render as bare tiles
+                for agent_slot in range(5):
+                    img = base.copy()
+                    if agent_slot > 0:
+                        tri = R.triangle((0.12, 0.19), (0.87, 0.50), (0.12, 0.81))
+                        tri = R.rotate(tri, 0.5, 0.5,
+                                       0.5 * math.pi * (agent_slot - 1))
+                        R.fill(img, tri, (255, 0, 0))
+                    atlas[agent_slot, code] = R.downsample(img, subdivs).astype(
+                        np.uint8)
+                    hl = img.copy()
+                    R.highlight(hl)
+                    atlas[5 + agent_slot, code] = R.downsample(
+                        hl, subdivs).astype(np.uint8)
+    return atlas
+
+
+def get_atlas(tile_size: int = C.TILE_PIXELS) -> jnp.ndarray:
+    """Device-resident atlas for a tile size (built once, cached)."""
+    if tile_size not in _atlas_cache:
+        _atlas_cache[tile_size] = jnp.asarray(_build_atlas_np(tile_size))
+    return _atlas_cache[tile_size]
+
+
+def cell_codes(grid: jnp.ndarray) -> jnp.ndarray:
+    """(W, H) atlas code per cell: (type*11 + color)*3 + state."""
+    g = grid.astype(jnp.int32)
+    return (g[..., 0] * C.NUM_COLORS + g[..., 1]) * 3 + g[..., 2]
+
+
+def render_grid(
+    grid: jnp.ndarray,
+    atlas: jnp.ndarray,
+    agent_pos: jnp.ndarray | None = None,
+    agent_dir: jnp.ndarray | None = None,
+    highlight_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Grid.render (grid.py:200-242) as one gather.  Returns
+    uint8[H*T, W*T, 3] (frames are row-major [y, x] like the reference)."""
+    w, h, _ = grid.shape
+    tile = atlas.shape[-2]
+    codes = cell_codes(grid)  # (W, H)
+
+    variant = jnp.zeros((w, h), dtype=jnp.int32)
+    if agent_pos is not None:
+        slot = (1 + agent_dir).astype(jnp.int32)
+        variant = variant.at[agent_pos[0], agent_pos[1]].set(slot)
+    if highlight_mask is not None:
+        variant = variant + 5 * highlight_mask.astype(jnp.int32)
+
+    tiles = atlas[variant, codes]  # (W, H, T, T, 3)
+    frame = tiles.transpose(1, 2, 0, 3, 4).reshape(h * tile, w * tile, 3)
+    return frame
+
+
+def full_render(
+    state: EnvState, params: EnvParams, atlas: jnp.ndarray,
+    highlight: bool = True,
+) -> jnp.ndarray:
+    """get_full_render (minigrid_env.py:669-715): world frame with the
+    agent's visible view highlighted.  The reference's per-cell
+    back-projection loop is one scatter of the view's world coordinates."""
+    if highlight:
+        wx, wy = view_world_coords(state.agent_pos, state.agent_dir,
+                                   params.agent_view_size)
+        _, vis_mask = gen_obs_grid(state, params)
+        in_bounds = ((wx >= 0) & (wx < params.width)
+                     & (wy >= 0) & (wy < params.height))
+        m = vis_mask & in_bounds
+        hmask = jnp.zeros((params.width, params.height), dtype=bool)
+        hmask = hmask.at[jnp.clip(wx, 0, params.width - 1),
+                         jnp.clip(wy, 0, params.height - 1)].max(m)
+    else:
+        hmask = None
+    return render_grid(state.grid, atlas, state.agent_pos, state.agent_dir,
+                       hmask)
+
+
+def pov_render(state: EnvState, params: EnvParams,
+               atlas: jnp.ndarray) -> jnp.ndarray:
+    """get_pov_render (minigrid_env.py:653-667): the agent's view rendered
+    with invisible cells blanked, agent at center-bottom facing up."""
+    v = params.agent_view_size
+    cells, vis_mask = gen_obs_grid(state, params)
+    cells = jnp.where(vis_mask[..., None], cells,
+                      jnp.zeros_like(cells).at[..., 0].set(1))
+    return render_grid(
+        cells, atlas,
+        agent_pos=jnp.asarray([v // 2, v - 1]),
+        agent_dir=jnp.asarray(3),
+    )
+
+
+def get_frame(state: EnvState, params: EnvParams, highlight: bool = True,
+              tile_size: int = C.TILE_PIXELS,
+              agent_pov: bool = False) -> jnp.ndarray:
+    """MiniGridEnv.get_frame (minigrid_env.py:717-740)."""
+    atlas = get_atlas(tile_size)
+    if agent_pov:
+        return pov_render(state, params, atlas)
+    return full_render(state, params, atlas, highlight=highlight)

@@ -219,6 +219,41 @@ class SymbolicObsWrapper(ObservationWrapper):
         return {**obs, "image": jnp.stack([xs, ys, t], axis=-1)}
 
 
+class RGBImgObsWrapper(ObservationWrapper):
+    """Fully observable RGB pixel obs (wrappers.py:161-186): the whole grid
+    rendered with the agent's view highlighted, via the atlas gather."""
+
+    def __init__(self, env: Env, tile_size: int = 8):
+        super().__init__(env)
+        self.tile_size = tile_size
+        from minigrid_tpu.ops.render import get_atlas
+
+        self._atlas = get_atlas(tile_size)
+
+    def transform(self, obs, state, params):
+        from minigrid_tpu.ops.render import full_render
+
+        return {**obs, "image": full_render(state, params, self._atlas,
+                                            highlight=True)}
+
+
+class RGBImgPartialObsWrapper(ObservationWrapper):
+    """Partially observable RGB pixel obs (wrappers.py:189-216): the agent's
+    POV rendered at tile_size pixels per cell."""
+
+    def __init__(self, env: Env, tile_size: int = 8):
+        super().__init__(env)
+        self.tile_size = tile_size
+        from minigrid_tpu.ops.render import get_atlas
+
+        self._atlas = get_atlas(tile_size)
+
+    def transform(self, obs, state, params):
+        from minigrid_tpu.ops.render import pov_render
+
+        return {**obs, "image": pov_render(state, params, self._atlas)}
+
+
 class ViewSizeWrapper(Wrapper):
     """Re-run the obs kernel at a custom view size (wrappers.py:469-501)."""
 
@@ -363,6 +398,8 @@ __all__ = [
     "BonusState",
     "ImgObsWrapper",
     "OneHotPartialObsWrapper",
+    "RGBImgObsWrapper",
+    "RGBImgPartialObsWrapper",
     "FullyObsWrapper",
     "SymbolicObsWrapper",
     "ViewSizeWrapper",
