@@ -15,6 +15,7 @@ from minigrid_tpu.parallel.vector import VectorEnv, rollout
 from minigrid_tpu.registry import make, register, registered_ids
 
 import minigrid_tpu.envs  # noqa: F401  (populates the registry)
+import minigrid_tpu.babyai  # noqa: F401  (BabyAI ids)
 
 __version__ = "0.1.0"
 

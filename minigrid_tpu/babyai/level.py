@@ -1,0 +1,312 @@
+"""BabyAI level base — RoomGridLevel as a tensor program.
+
+Re-derivation of ``minigrid/envs/babyai/core/roomgrid_level.py``:
+
+* the generate-validate-retry loop (roomgrid_level.py:118-143, catching
+  RejectSampling and resampling forever) becomes a fueled regeneration loop —
+  each level's :meth:`gen_level` returns (state, valid) and invalid draws are
+  retried with fresh keys up to a static attempt budget;
+* the per-episode step limit ``num_navs * room² * rows * cols``
+  (roomgrid_level.py:76-83) is computed from the sampled instruction and
+  stored in ``state.max_steps``;
+* the step hook runs the tensor verifier (roomgrid_level.py:86-103): success
+  terminates with the shaped reward, failure terminates with 0;
+* ``check_objs_reachable`` (roomgrid_level.py:249-301) is a bounded boolean
+  flood fill (doors of any state are passable; objects are visitable but
+  block expansion).
+
+The observation's ``mission`` field carries the flattened instruction code
+(35 ints + 2 article bits per desc); ``mission_text`` rebuilds the exact
+reference surface string (verifier.py surface functions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from minigrid_tpu.babyai import verifier as V
+from minigrid_tpu.core import constants as C
+from minigrid_tpu.core import grid_ops as G
+from minigrid_tpu.core.roomgrid import RoomGridEnv
+from minigrid_tpu.core.state import EnvParams, EnvState, base_state
+from minigrid_tpu.core.step import DROP
+
+
+def flatten_instr(instr: V.InstrCode, articles: jnp.ndarray) -> jnp.ndarray:
+    """InstrCode -> int32[43] mission vector.
+    Layout: [seq, a_and, b_and, kinds(4), d1(12), d2(12), strict(4),
+    articles(8)] where articles[2k], articles[2k+1] flag plural ('a' vs
+    'the') for clause k's desc1/desc2 (verifier.py:96-100)."""
+    return jnp.concatenate([
+        jnp.stack([instr.seq_kind, instr.a_and.astype(jnp.int32),
+                   instr.b_and.astype(jnp.int32)]),
+        instr.kinds,
+        instr.d1.reshape(-1),
+        instr.d2.reshape(-1),
+        instr.strict.astype(jnp.int32),
+        articles.astype(jnp.int32),
+    ]).astype(jnp.int32)
+
+
+def unflatten_instr(mission: np.ndarray) -> tuple[V.InstrCode, np.ndarray]:
+    m = np.asarray(mission)
+    instr = V.InstrCode(
+        seq_kind=jnp.asarray(m[0]),
+        a_and=jnp.asarray(bool(m[1])),
+        b_and=jnp.asarray(bool(m[2])),
+        kinds=jnp.asarray(m[3:7]),
+        d1=jnp.asarray(m[7:19].reshape(4, 3)),
+        d2=jnp.asarray(m[19:31].reshape(4, 3)),
+        strict=jnp.asarray(m[31:35].astype(bool)),
+    )
+    return instr, m[35:43]
+
+
+def desc_surface(d, plural: bool) -> str:
+    """ObjDesc.surface (verifier.py:72-102)."""
+    t, color, loc = int(d[0]), int(d[1]), int(d[2])
+    s = "object" if t == 0 else V.OBJ_TYPES[t - 1]
+    if color:
+        s = C.IDX_TO_COLOR[color] + " " + s
+    if loc == 3:
+        s += " in front of you"
+    elif loc == 4:
+        s += " behind you"
+    elif loc in (1, 2):
+        s += " on your " + V.LOC_NAMES[loc - 1]
+    return ("a " if plural else "the ") + s
+
+
+def clause_surface(kind: int, d1, d2, a1: bool, a2: bool) -> str:
+    if kind == V.K_GOTO:
+        return "go to " + desc_surface(d1, a1)
+    if kind == V.K_PICKUP:
+        return "pick up " + desc_surface(d1, a1)
+    if kind == V.K_OPEN:
+        return "open " + desc_surface(d1, a1)
+    if kind == V.K_PUTNEXT:
+        return ("put " + desc_surface(d1, a1) + " next to " + desc_surface(d2, a2))
+    return ""
+
+
+class BabyAILevel(RoomGridEnv):
+    """Base class for BabyAI levels."""
+
+    name = "BabyAILevel"
+    max_gen_attempts: int = 8
+
+    def __init__(self, room_size: int = 8, num_rows: int = 3, num_cols: int = 3,
+                 max_steps: int | None = None, **kwargs):
+        # max_steps=None -> per-episode dynamic limit (roomgrid_level.py:57-62);
+        # the params field holds a fallback bound.
+        self.fixed_max_steps = max_steps is not None
+        nav_bound = room_size**2 * num_rows * num_cols * 8
+        super().__init__(room_size=room_size, num_rows=num_rows,
+                         num_cols=num_cols,
+                         max_steps=max_steps if max_steps is not None else nav_bound,
+                         **kwargs)
+
+    # ------------------------------------------------------------------ #
+    # generation
+    # ------------------------------------------------------------------ #
+
+    def gen_level(self, key: jnp.ndarray, params: EnvParams
+                  ) -> tuple[dict, V.InstrCode, jnp.ndarray, jnp.ndarray]:
+        """Per-level mission generator.  Returns (builder, instr, articles,
+        valid)."""
+        raise NotImplementedError
+
+    def generate(self, key: jnp.ndarray, params: EnvParams) -> EnvState:
+        def attempt(k):
+            b, instr, articles, valid = self.gen_level(k, params)
+            return b, instr, articles, valid
+
+        def cond(carry):
+            _, _, _, valid, k, n = carry
+            return (~valid) & (n < self.max_gen_attempts)
+
+        def body(carry):
+            _, _, _, _, k, n = carry
+            k, sub = jax.random.split(k)
+            b, instr, articles, valid = attempt(sub)
+            return (b, instr, articles, valid, k, n + 1)
+
+        key, k0, k_state = jax.random.split(key, 3)
+        b, instr, articles, valid = attempt(k0)
+        b, instr, articles, valid, _, _ = jax.lax.while_loop(
+            cond, body, (b, instr, articles, valid, key, jnp.asarray(1))
+        )
+
+        # Verifier state + per-episode step limit (roomgrid_level.py:70-83).
+        room_mask = self.agent_room_mask(b, params)
+        vs = V.init_verifier_state(b["grid"], instr, b["agent_pos"],
+                                   b["agent_dir"], room_mask)
+        if self.fixed_max_steps:
+            max_steps = jnp.asarray(0, jnp.int32)  # use params.max_steps
+        else:
+            nav_time_maze = self.room_size**2 * self.num_rows * self.num_cols
+            max_steps = V.num_navs(instr) * nav_time_maze
+
+        mission = flatten_instr(instr, articles)
+        state = base_state(
+            b["grid"], b["agent_pos"], b["agent_dir"], rng=k_state,
+            mission=mission, box_contains=b.get("box_contains"),
+            max_steps=max_steps,
+            extra={"instr": instr, "vs": vs},
+        )
+        return self.post_generate(state, b, params)
+
+    def post_generate(self, state: EnvState, b: dict,
+                      params: EnvParams) -> EnvState:
+        """Hook for level classes that mutate state after reset (e.g.
+        PutNext's start_carrying, putnext.py:84-93)."""
+        return state
+
+    def place_agent_any(self, b: dict, key: jnp.ndarray, params: EnvParams,
+                        exclude_room=None) -> dict:
+        """RoomGrid.place_agent with random room (roomgrid.py:313-334);
+        `exclude_room` (ri, rj) masks out a room (LevelGen's not-the-locked-
+        room retry, levelgen.py:67-73 — the retry distribution equals a
+        uniform draw over the remaining rooms)."""
+        k_room, k_pos = jax.random.split(key)
+        n_rooms = self.num_rows * self.num_cols
+        logits = jnp.zeros((n_rooms,))
+        if exclude_room is not None:
+            r = exclude_room[1] * self.num_cols + exclude_room[0]
+            logits = logits.at[r].set(-jnp.inf)
+        room = jax.random.categorical(k_room, logits)
+        ri = room % self.num_cols
+        rj = room // self.num_cols
+        return self.place_agent_in_room(b, k_pos, params, ri, rj)
+
+    def article_flags(self, b: dict, instr: V.InstrCode,
+                      params: EnvParams) -> jnp.ndarray:
+        """Plural flags per desc: 'a X' when >1 object matches, 'the X'
+        otherwise (verifier.py:96-100), evaluated at generation time."""
+        room_mask = self.agent_room_mask(b, params)
+        flags = []
+        for k in range(4):
+            for d in (instr.d1[k], instr.d2[k]):
+                m = V.desc_match_mask(b["grid"], d, b["agent_pos"],
+                                      b["agent_dir"], room_mask)
+                flags.append(jnp.sum(m) > 1)
+        return jnp.stack(flags)
+
+    def finish_level(self, b, instr, params, valid=True):
+        """Standard (builder, instr, articles, valid) return tuple."""
+        return b, instr, self.article_flags(b, instr, params), jnp.asarray(valid)
+
+    def agent_room_mask(self, b: dict, params: EnvParams) -> jnp.ndarray:
+        """(W, H) mask of the agent's starting room (for location descs)."""
+        s = self.room_size
+        ri = b["agent_pos"][0] // (s - 1)
+        rj = b["agent_pos"][1] // (s - 1)
+        return self.room_rect_mask(params, ri, rj)
+
+    # ------------------------------------------------------------------ #
+    # stepping
+    # ------------------------------------------------------------------ #
+
+    def post_step(self, state, action, reward, terminated, outcome, params):
+        vs, status = V.verify_step(
+            state.extra["vs"], state.extra["instr"], state.grid,
+            state.agent_pos, state.agent_dir, action, outcome,
+        )
+        state = state.replace(extra={**state.extra, "vs": vs})
+        reward = jnp.where(status == V.SUCCESS,
+                           self.task_reward(state, params),
+                           jnp.where(status == V.FAILURE, 0.0, reward))
+        terminated = terminated | (status != V.CONTINUE)
+        return state, reward, terminated
+
+    # ------------------------------------------------------------------ #
+    # validation helpers (roomgrid_level.py:145-198, 249-301)
+    # ------------------------------------------------------------------ #
+
+    def objs_reachable(self, b: dict, params: EnvParams) -> jnp.ndarray:
+        """check_objs_reachable as a bounded flood fill: doors (any state)
+        are passable, other objects are visitable but block expansion."""
+        grid = b["grid"]
+        types = grid[..., 0].astype(jnp.int32)
+        w, h = types.shape
+        empty = types == C.OBJECT_TO_IDX["empty"]
+        door = types == C.OBJECT_TO_IDX["door"]
+        wall = types == C.OBJECT_TO_IDX["wall"]
+        expandable = empty | door
+        reach = jnp.zeros((w, h), bool).at[b["agent_pos"][0],
+                                           b["agent_pos"][1]].set(True)
+
+        def cond(carry):
+            reach, changed = carry
+            return changed
+
+        def body(carry):
+            reach, _ = carry
+            src = reach & (expandable | (
+                jnp.zeros((w, h), bool).at[b["agent_pos"][0],
+                                           b["agent_pos"][1]].set(True)))
+            grown = reach
+            grown = grown | jnp.roll(src, 1, axis=0).at[0, :].set(False)
+            grown = grown | jnp.roll(src, -1, axis=0).at[-1, :].set(False)
+            grown = grown | jnp.roll(src, 1, axis=1).at[:, 0].set(False)
+            grown = grown | jnp.roll(src, -1, axis=1).at[:, -1].set(False)
+            return grown, jnp.any(grown != reach)
+
+        reach, _ = jax.lax.while_loop(cond, body, (reach, jnp.asarray(True)))
+        objects = ~empty & ~wall
+        return jnp.all(~objects | reach)
+
+    def putnext_valid(self, b: dict, instr: V.InstrCode, params: EnvParams,
+                      agent_pos, agent_dir) -> jnp.ndarray:
+        """validate_instrs for PutNext clauses (roomgrid_level.py:159-176):
+        move/fixed sets must not share objects or already be adjacent."""
+        room_mask = None  # validation runs before agent move constraints
+        ok = jnp.asarray(True)
+        for k in range(4):
+            is_pn = instr.kinds[k] == V.K_PUTNEXT
+            m1 = V.desc_match_mask(b["grid"], instr.d1[k], agent_pos,
+                                   agent_dir, room_mask)
+            m2 = V.desc_match_mask(b["grid"], instr.d2[k], agent_pos,
+                                   agent_dir, room_mask)
+            shared = jnp.any(m1 & m2)
+            dil = (jnp.roll(m2, 1, 0).at[0, :].set(False)
+                   | jnp.roll(m2, -1, 0).at[-1, :].set(False)
+                   | jnp.roll(m2, 1, 1).at[:, 0].set(False)
+                   | jnp.roll(m2, -1, 1).at[:, -1].set(False))
+            adjacent = jnp.any(m1 & dil)
+            ok &= ~is_pn | (~shared & ~adjacent)
+        return ok
+
+    # ------------------------------------------------------------------ #
+    # mission surface
+    # ------------------------------------------------------------------ #
+
+    def mission_text(self, mission) -> str:
+        instr, articles = unflatten_instr(np.asarray(mission))
+        seq = int(instr.seq_kind)
+        kinds = np.asarray(instr.kinds)
+        d1 = np.asarray(instr.d1)
+        d2 = np.asarray(instr.d2)
+
+        def clause(k):
+            return clause_surface(int(kinds[k]), d1[k], d2[k],
+                                  bool(articles[2 * k]),
+                                  bool(articles[2 * k + 1]))
+
+        def operand(base, is_and):
+            if is_and:
+                return clause(base) + " and " + clause(base + 1)
+            return clause(base)
+
+        a = operand(0, bool(instr.a_and))
+        b = operand(2, bool(instr.b_and))
+        if seq == V.S_SINGLE:
+            return a
+        if seq == V.S_AND:
+            return a + " and " + b
+        if seq == V.S_BEFORE:
+            return a + ", then " + b
+        return a + " after you " + b

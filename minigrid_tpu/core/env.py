@@ -117,7 +117,10 @@ class Env:
 
     # -- reward helper (minigrid_env.py:239-244) -------------------------------
     def task_reward(self, state: EnvState, params: EnvParams) -> jnp.ndarray:
-        return 1.0 - 0.9 * (state.step_count.astype(jnp.float32) / params.max_steps)
+        max_steps = jnp.where(
+            state.max_steps > 0, state.max_steps, params.max_steps
+        ).astype(jnp.float32)
+        return 1.0 - 0.9 * (state.step_count.astype(jnp.float32) / max_steps)
 
     # -- missions ---------------------------------------------------------------
     def mission_text(self, mission: Any) -> str:

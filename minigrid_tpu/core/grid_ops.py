@@ -106,13 +106,38 @@ def sample_cell(key: jnp.ndarray, mask: jnp.ndarray) -> tuple[jnp.ndarray, jnp.n
     """
     w, h = mask.shape
     flat = mask.reshape(-1)
-    any_valid = jnp.any(flat)
-    logits = jnp.where(flat, 0.0, -jnp.inf)
-    # Guard the all-invalid case so categorical never sees all -inf.
-    logits = jnp.where(any_valid, logits, jnp.zeros_like(logits))
-    idx = jax.random.categorical(key, logits)
+    # Count-and-select: draw r uniform in [0, count) and take the (r+1)-th
+    # True cell.  One integer draw and a cumsum — no Gumbel transcendentals,
+    # which dominate generation cost at fleet batch sizes.
+    counts = jnp.cumsum(flat.astype(jnp.int32))
+    total = counts[-1]
+    any_valid = total > 0
+    r = jax.random.randint(key, (), 0, jnp.maximum(total, 1))
+    idx = jnp.argmax(counts > r)
     pos = jnp.stack([idx // h, idx % h]).astype(jnp.int32)
     return jnp.where(any_valid, pos, jnp.zeros_like(pos)), any_valid
+
+
+def sample_two_distinct(
+    key: jnp.ndarray, mask: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Two distinct uniform cells from one mask with a single cumsum pass
+    (fuses back-to-back place_obj draws over the same free region).
+    Returns (pos1, pos2, ok)."""
+    w, h = mask.shape
+    flat = mask.reshape(-1)
+    counts = jnp.cumsum(flat.astype(jnp.int32))
+    total = counts[-1]
+    ok = total >= 2
+    k1, k2 = jax.random.split(key)
+    r1 = jax.random.randint(k1, (), 0, jnp.maximum(total, 1))
+    r2 = jax.random.randint(k2, (), 0, jnp.maximum(total - 1, 1))
+    r2 = r2 + (r2 >= r1)
+    i1 = jnp.argmax(counts > r1)
+    i2 = jnp.argmax(counts > r2)
+    p1 = jnp.stack([i1 // h, i1 % h]).astype(jnp.int32)
+    p2 = jnp.stack([i2 // h, i2 % h]).astype(jnp.int32)
+    return p1, p2, ok
 
 
 def place_obj(

@@ -162,17 +162,28 @@ class RoomGridEnv(Env):
         return G.rect_mask(params.width, params.height, (tx, ty),
                            (self.room_size, self.room_size))
 
-    def add_door(self, b: dict, key: jnp.ndarray, i, j, door_idx,
-                 color=None, locked=None) -> tuple[dict, jnp.ndarray, jnp.ndarray]:
+    def add_door(self, b: dict, key: jnp.ndarray, i, j, door_idx=None,
+                 color=None, locked=None, enabled=True
+                 ) -> tuple[dict, jnp.ndarray, jnp.ndarray]:
         """Place a door on wall `door_idx` of room (i, j)
-        (roomgrid.py:230-274).  Returns (builder, door_triple, door_pos)."""
-        k_c, k_l = jax.random.split(key)
+        (roomgrid.py:230-274).  door_idx=None picks a uniform free wall with a
+        neighbor (the rejection loop at roomgrid.py:244-250).  `enabled` (may
+        be traced) gates all writes.  Returns (builder, door_triple, door_pos)."""
+        k_c, k_l, k_side = jax.random.split(key, 3)
+        if door_idx is None:
+            valids = []
+            for side in range(4):
+                wid, valid = self.wall_id_for(i, j, side)
+                valids.append(valid & ~b["has_door"][wid])
+            logits = jnp.where(jnp.stack(valids), 0.0, -jnp.inf)
+            door_idx = jax.random.categorical(k_side, logits)
         if color is None:
             color = rand_color(k_c)
         color = jnp.asarray(color, jnp.int32)
         if locked is None:
             locked = jax.random.randint(k_l, (), 0, 2) == 0  # _rand_bool
         locked = jnp.asarray(locked)
+        enabled = jnp.asarray(enabled)
 
         wid, _ = self.wall_id_for(i, j, door_idx)
         pos = b["door_pos"][wid]
@@ -180,10 +191,14 @@ class RoomGridEnv(Env):
         triple = jnp.stack([jnp.asarray(_DOOR, jnp.int32), color, state]).astype(jnp.uint8)
         room = jnp.asarray(j, jnp.int32) * self.num_cols + jnp.asarray(i, jnp.int32)
         b = dict(b)
-        b["grid"] = G.put(b["grid"], pos[0], pos[1], triple)
-        b["has_door"] = b["has_door"].at[wid].set(True)
+        b["grid"] = b["grid"].at[pos[0], pos[1]].set(
+            jnp.where(enabled, triple, b["grid"][pos[0], pos[1]])
+        )
+        b["has_door"] = b["has_door"].at[wid].max(enabled)
         # room.locked = locked — unconditional assignment (roomgrid.py:260)
-        b["locked"] = b["locked"].at[room].set(locked)
+        b["locked"] = b["locked"].at[room].set(
+            jnp.where(enabled, locked, b["locked"][room])
+        )
         return b, triple, pos
 
     def remove_wall(self, b: dict, i: int, j: int, wall_idx: int) -> dict:
@@ -209,16 +224,17 @@ class RoomGridEnv(Env):
         return b
 
     def place_in_room(self, b: dict, key: jnp.ndarray, params: EnvParams,
-                      i, j, triple) -> tuple[dict, jnp.ndarray, jnp.ndarray]:
+                      i, j, triple, enabled=True) -> tuple[dict, jnp.ndarray, jnp.ndarray]:
         """place_in_room with the reject_next_to filter (roomgrid.py:181-196,
         11-20): uniform over empty room cells at manhattan distance >= 2 from
-        the agent."""
+        the agent.  `enabled` (may be traced) gates the write entirely."""
         xs, ys = G.coords(params.width, params.height)
         near_agent = (jnp.abs(xs - b["agent_pos"][0])
                       + jnp.abs(ys - b["agent_pos"][1])) < 2
         mask = (G.is_empty(b["grid"]) & self.room_rect_mask(params, i, j)
                 & ~near_agent)
         pos, ok = G.sample_cell(key, mask)
+        ok = ok & jnp.asarray(enabled)
         b = dict(b)
         b["grid"] = b["grid"].at[pos[0], pos[1]].set(
             jnp.where(ok, jnp.asarray(triple, jnp.uint8), b["grid"][pos[0], pos[1]])
@@ -226,7 +242,8 @@ class RoomGridEnv(Env):
         return b, pos, ok
 
     def add_object(self, b: dict, key: jnp.ndarray, params: EnvParams, i, j,
-                   kind=None, color=None) -> tuple[dict, jnp.ndarray, jnp.ndarray]:
+                   kind=None, color=None, enabled=True
+                   ) -> tuple[dict, jnp.ndarray, jnp.ndarray]:
         """Add a key/ball/box to room (i, j) (roomgrid.py:198-228).
         kind: None | 'key' | 'ball' | 'box' | traced local kind index (0/1/2).
         Returns (builder, triple, pos)."""
@@ -242,10 +259,11 @@ class RoomGridEnv(Env):
         color = jnp.asarray(color, jnp.int32)
         t = jnp.asarray(_KIND_IDS)[kind_local]
         triple = jnp.stack([t, color, jnp.zeros((), jnp.int32)]).astype(jnp.uint8)
-        b, pos, _ = self.place_in_room(b, k_pos, params, i, j, triple)
+        b, pos, ok = self.place_in_room(b, k_pos, params, i, j, triple,
+                                        enabled=enabled)
         # record (kind, color-name-rank) for distractor uniqueness
         color_rank = jnp.argmax(SORTED_COLOR_IDS == color)
-        b["obj_mask"] = b["obj_mask"].at[kind_local * 10 + color_rank].set(True)
+        b["obj_mask"] = b["obj_mask"].at[kind_local * 10 + color_rank].max(ok)
         return b, triple, pos
 
     def place_agent_in_room(self, b: dict, key: jnp.ndarray, params: EnvParams,
@@ -282,7 +300,7 @@ class RoomGridEnv(Env):
         return b
 
     def connect_all(self, b: dict, key: jnp.ndarray,
-                    max_itrs: int = 64) -> dict:
+                    max_itrs: int = 64, exclude_color=None) -> dict:
         """Add random unlocked doors until every room is reachable from the
         agent's room (roomgrid.py:336-394), as a fueled while_loop.
 
@@ -325,7 +343,20 @@ class RoomGridEnv(Env):
             neighbor = jnp.where(r1[wid] == room, r2[wid], r1[wid])
             ok = (valid & ~has_door[wid]
                   & ~b["locked"][room] & ~b["locked"][neighbor])
-            color = rand_color(k_c)
+            if exclude_color is None:
+                color = rand_color(k_c)
+            else:
+                # uniform over the colors != exclude_color when the (traced)
+                # exclusion is active, i.e. a real color id; a negative
+                # sentinel keeps the full palette
+                # (babyai/unlock.py:38-42 passes a filtered palette)
+                ex = jnp.asarray(exclude_color)
+                active = ex > 0
+                ex_rank = jnp.argmax(SORTED_COLOR_IDS == ex)
+                r = jax.random.randint(k_c, (), 0,
+                                       jnp.where(active, 9, 10))
+                color = SORTED_COLOR_IDS[
+                    jnp.where(active, r + (r >= ex_rank), r)]
             pos = b["door_pos"][wid]
             door = jnp.stack([
                 jnp.asarray(_DOOR, jnp.int32), color,
@@ -346,12 +377,17 @@ class RoomGridEnv(Env):
 
     def add_distractors(self, b: dict, key: jnp.ndarray, params: EnvParams,
                         i=None, j=None, num_distractors: int = 10,
-                        all_unique: bool = True) -> tuple[dict, jnp.ndarray]:
+                        all_unique: bool = True, enabled=True,
+                        color_override=None
+                        ) -> tuple[dict, jnp.ndarray, jnp.ndarray]:
         """Random key/ball/box distractors (roomgrid.py:396-438).  The
         uniqueness rejection loop becomes a masked draw over the 30
         (kind, color) combos, excluding combos already present.
-        Returns (builder, (num, 2) array of the (type_id, color_id) added)."""
-        added = []
+        `color_override` forces the written color (GoToRedBallGrey's post-hoc
+        grey recolor, babyai/goto.py:28-29) while sampling stays unchanged.
+        Returns (builder, (num, 2) int array of (type_id, color_id),
+        (num, 2) positions)."""
+        added, positions = [], []
         for n in range(num_distractors):
             key, k_tc, k_i, k_j, k_pos = jax.random.split(key, 5)
             if all_unique:
@@ -362,9 +398,15 @@ class RoomGridEnv(Env):
                 combo = jax.random.randint(k_tc, (), 0, 30)
             kind_local = combo // 10
             color = SORTED_COLOR_IDS[combo % 10]
+            write_color = color if color_override is None else jnp.asarray(
+                color_override, jnp.int32)
             ri = jax.random.randint(k_i, (), 0, self.num_cols) if i is None else i
             rj = jax.random.randint(k_j, (), 0, self.num_rows) if j is None else j
-            b, triple, _ = self.add_object(b, k_pos, params, ri, rj,
-                                           kind=kind_local, color=color)
-            added.append(triple[:2].astype(jnp.int32))
-        return b, (jnp.stack(added) if added else jnp.zeros((0, 2), jnp.int32))
+            b, triple, pos = self.add_object(b, k_pos, params, ri, rj,
+                                             kind=kind_local, color=write_color,
+                                             enabled=enabled)
+            added.append(jnp.stack([jnp.asarray(_KIND_IDS)[kind_local], color]))
+            positions.append(pos)
+        if not added:
+            return b, jnp.zeros((0, 2), jnp.int32), jnp.zeros((0, 2), jnp.int32)
+        return b, jnp.stack(added).astype(jnp.int32), jnp.stack(positions)

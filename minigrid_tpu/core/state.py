@@ -44,6 +44,10 @@ class EnvState:
     truncated: jnp.ndarray  # bool
     rng: jnp.ndarray  # PRNG key consumed by stochastic transitions
     mission: jnp.ndarray  # int32[K] — packed mission code (template + slots)
+    # Per-episode step limit override; 0 means "use params.max_steps".
+    # BabyAI recomputes the limit from the sampled instruction each episode
+    # (roomgrid_level.py:76-83), so it must be state, not config.
+    max_steps: jnp.ndarray = None  # int32
     extra: Any = None  # env-family-specific pytree (targets, obstacles, ...)
 
 
@@ -81,6 +85,7 @@ def base_state(
     mission: jnp.ndarray | None = None,
     box_contains: jnp.ndarray | None = None,
     extra: Any = None,
+    max_steps=0,
 ) -> EnvState:
     """Assemble a fresh EnvState at step 0 (the tail of reference reset,
     minigrid_env.py:152-156)."""
@@ -101,5 +106,6 @@ def base_state(
         truncated=jnp.asarray(False),
         rng=rng,
         mission=jnp.asarray(mission, dtype=jnp.int32),
+        max_steps=jnp.asarray(max_steps, dtype=jnp.int32),
         extra=extra,
     )

@@ -87,6 +87,10 @@ def base_step(
     """
     action = jnp.asarray(action, dtype=jnp.int32)
     step_count = state.step_count + 1
+    # Per-episode limit override (0 sentinel -> static params.max_steps).
+    max_steps = jnp.where(
+        state.max_steps > 0, state.max_steps, params.max_steps
+    ).astype(jnp.float32)
 
     is_left = action == LEFT
     is_right = action == RIGHT
@@ -126,7 +130,7 @@ def base_step(
     terminated = hit_goal | hit_lava
     reward = jnp.where(
         hit_goal,
-        1.0 - 0.9 * (step_count.astype(jnp.float32) / params.max_steps),
+        1.0 - 0.9 * (step_count.astype(jnp.float32) / max_steps),
         0.0,
     )
 
@@ -183,7 +187,7 @@ def base_step(
         picked_up, fwd_contains, jnp.where(dropped, _EMPTY, state.carrying_contains)
     )
 
-    truncated = step_count >= params.max_steps  # minigrid_env.py:584-585
+    truncated = step_count >= max_steps.astype(jnp.int32)  # minigrid_env.py:584-585
 
     new_state = state.replace(
         grid=grid,

@@ -42,23 +42,20 @@ class DoorKeyEnv(Env):
         split = jax.random.randint(k_split, (), 2, w - 2, dtype=jnp.int32)
         grid = G.vert_wall(grid, split, 0)
 
-        # Agent on the left of the wall, random direction (doorkey.py:91).
-        _, agent_pos, _ = G.place_obj(k_agent, grid, None, size=(split, h))
+        # Agent and key both land on uniform distinct empty cells of the left
+        # side (doorkey.py:91, 98) — one fused two-cell draw replaces the two
+        # sequential place_obj passes (the distribution is identical: the key
+        # draw excludes exactly the agent cell).
+        left = G.is_empty(grid) & G.rect_mask(w, h, (0, 0), (split, h))
+        agent_pos, key_pos, _ = G.sample_two_distinct(k_agent, left)
         agent_dir = jax.random.randint(k_dir, (), 0, 4, dtype=jnp.int32)
 
         # Locked yellow door in the wall (doorkey.py:94-95 — note the
         # reference samples the row from [1, width-2)).
         door_y = jax.random.randint(k_door, (), 1, w - 2, dtype=jnp.int32)
         grid = G.put(grid, split, door_y, jnp.array([_DOOR, _YELLOW, _LOCKED], jnp.uint8))
-
-        # Yellow key on the left side (doorkey.py:98).
-        grid, _, _ = G.place_obj(
-            k_key,
-            grid,
-            jnp.array([_KEY, _YELLOW, 0], jnp.uint8),
-            agent_pos=agent_pos,
-            size=(split, h),
-        )
+        grid = G.put(grid, key_pos[0], key_pos[1],
+                     jnp.array([_KEY, _YELLOW, 0], jnp.uint8))
         return base_state(grid, agent_pos, agent_dir, rng=k_state)
 
     def mission_text(self, mission) -> str:

@@ -53,6 +53,7 @@ def from_reference(ref_env, rng=None) -> EnvState:
         truncated=jnp.asarray(False),
         rng=rng if rng is not None else jax.random.PRNGKey(0),
         mission=jnp.zeros((4,), dtype=jnp.int32),
+        max_steps=jnp.asarray(0, dtype=jnp.int32),
     )
 
 
