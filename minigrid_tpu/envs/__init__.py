@@ -8,7 +8,13 @@ switch by changing only the import.
 from __future__ import annotations
 
 from minigrid_tpu.envs.blockedunlockpickup import BlockedUnlockPickupEnv
+from minigrid_tpu.envs.blocks_dataset import BlocksDataset
+from minigrid_tpu.envs.contrastive import (
+    ContrastiveDataset,
+    ContrastiveTrajectoryDataset,
+)
 from minigrid_tpu.envs.crossing import CrossingEnv
+from minigrid_tpu.envs.directions_dataset import DirectionsDataset
 from minigrid_tpu.envs.distshift import DistShiftEnv
 from minigrid_tpu.envs.doorkey import DoorKeyEnv
 from minigrid_tpu.envs.dynamicobstacles import DynamicObstaclesEnv
@@ -22,6 +28,7 @@ from minigrid_tpu.envs.lavagap import LavaGapEnv
 from minigrid_tpu.envs.lockedroom import LockedRoomEnv
 from minigrid_tpu.envs.memory import MemoryEnv
 from minigrid_tpu.envs.multiroom import MultiRoomEnv
+from minigrid_tpu.envs.negated_goals import NegatedEnv, NegatedSimple
 from minigrid_tpu.envs.obstructedmaze import (
     ObstructedMaze_1Dlhb,
     ObstructedMaze_2Dl,
@@ -157,6 +164,13 @@ register("MiniGrid-ObstructedMaze-2Q-v0", ObstructedMaze_Full,
          agent_room=(1, 1), key_in_box=True, blocked=True, num_quarters=2,
          num_rooms_visited=11)
 register("MiniGrid-ObstructedMaze-Full-v0", ObstructedMaze_Full)
+
+# --- Fork dataset envs (minigrid/__init__.py:16-18, 1086-1094) -------------------
+register("ContrastiveDataset-v0", ContrastiveDataset)
+register("ContrastiveTrajectoryDataset-v0", ContrastiveTrajectoryDataset)
+register("MiniGrid-Negated-Simple-v0", NegatedSimple)
+register("DirectionsDataset-v0", DirectionsDataset)
+register("BlocksDataset-v0", BlocksDataset)
 
 # --- Unlock family (minigrid/__init__.py:27, 513, 519) --------------------------
 register("MiniGrid-Unlock-v0", UnlockEnv)

@@ -1,0 +1,110 @@
+"""Perf micro-benchmark (re-derivation of minigrid/benchmark.py:12-63).
+
+Reports the reference's three metrics — reset latency, full-render FPS, and
+RGB-partial-obs step FPS — plus the vectorized metrics the reference has no
+analogue for (batched env-steps/s with auto-reset).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def benchmark(env_id: str = "MiniGrid-LavaGapS7-v0", num_resets: int = 200,
+              num_frames: int = 5000, tile_size: int = 32,
+              num_envs: int = 4096, vector_steps: int = 256) -> dict:
+    import minigrid_tpu
+    from minigrid_tpu.ops.render import get_atlas, get_frame, pov_render
+    from minigrid_tpu.parallel.vector import VectorEnv
+
+    env = minigrid_tpu.make(env_id)
+    params = env.default_params
+    reset = jax.jit(lambda k: env.reset(k, params))
+    step = jax.jit(lambda s, a: env.step(s, a, params))
+    atlas = get_atlas(tile_size)
+    frame = jax.jit(lambda s: get_frame(s, params, tile_size=tile_size))
+    pov = jax.jit(lambda s: pov_render(s, params, atlas))
+
+    # --- reset latency (benchmark.py:15-21) --------------------------------
+    obs, state = reset(jax.random.PRNGKey(0))
+    jax.block_until_ready(state.grid)
+    t0 = time.perf_counter()
+    for i in range(num_resets):
+        obs, state = reset(jax.random.PRNGKey(i))
+    jax.block_until_ready(state.grid)
+    reset_ms = (time.perf_counter() - t0) * 1000 / num_resets
+
+    # --- full-render FPS (benchmark.py:23-28) ------------------------------
+    img = frame(state)
+    jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    for _ in range(num_frames):
+        img = frame(state)
+    jax.block_until_ready(img)
+    render_fps = num_frames / (time.perf_counter() - t0)
+
+    # --- RGB-partial-obs step FPS (benchmark.py:30-42) ----------------------
+    img = pov(state)
+    jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    for i in range(num_frames):
+        obs, state, r, te, tr, _ = step(state, jnp.int32(i % 3))
+        img = pov(state)
+    jax.block_until_ready(img)
+    rgb_step_fps = num_frames / (time.perf_counter() - t0)
+
+    # --- vectorized env-steps/s (no reference analogue) ----------------------
+    venv = VectorEnv(env, num_envs, params)
+
+    @jax.jit
+    def run(key):
+        key, k = jax.random.split(key)
+        obs, st = venv._reset(k)
+
+        def body(st, kk):
+            a = jax.random.randint(kk, (num_envs,), 0, env.num_actions,
+                                   dtype=jnp.int32)
+            _, st, r, te, tr, _ = venv._step(st, a)
+            return st, r.sum()
+
+        keys = jax.random.split(key, vector_steps)
+        st, rs = jax.lax.scan(body, st, keys)
+        return rs.sum()
+
+    r = run(jax.random.PRNGKey(0))
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    r = run(jax.random.PRNGKey(1))
+    jax.block_until_ready(r)
+    vec_sps = num_envs * vector_steps / (time.perf_counter() - t0)
+
+    return {
+        "reset_ms": reset_ms,
+        "render_fps": render_fps,
+        "rgb_partial_step_fps": rgb_step_fps,
+        "vector_env_steps_per_sec": vec_sps,
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--env-name", default="MiniGrid-LavaGapS7-v0")
+    parser.add_argument("--num-resets", type=int, default=200)
+    parser.add_argument("--num-frames", type=int, default=5000)
+    parser.add_argument("--tile-size", type=int, default=32)
+    parser.add_argument("--num-envs", type=int, default=4096)
+    args = parser.parse_args()
+    out = benchmark(args.env_name, args.num_resets, args.num_frames,
+                    args.tile_size, args.num_envs)
+    print(f"reset time (ms)      : {out['reset_ms']:.1f}")
+    print(f"full render FPS      : {out['render_fps']:.0f}")
+    print(f"RGB partial step FPS : {out['rgb_partial_step_fps']:.0f}")
+    print(f"vector env-steps/s   : {out['vector_env_steps_per_sec']:.0f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Tools: oracle demos, demo packing, benchmark harness, dataset envs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import minigrid_tpu
+from minigrid_tpu.tools.generate_demos import collect, pack_demos
+from minigrid_tpu.tools.oracle import OracleAgent
+
+
+def test_oracle_solves_contrastive():
+    demos = collect("ContrastiveTrajectoryDataset-v0", 6, seed=0)
+    assert len(demos) >= 3
+    for mission, obss, actions, rewards, target, label in demos:
+        assert sum(rewards) > 0  # oracle demos always succeed
+        assert mission.startswith("Pickup")
+        assert len(obss) == len(actions) == len(rewards)
+
+
+def test_demo_packing():
+    demos = collect("ContrastiveTrajectoryDataset-v0", 4, seed=2)
+    packed = pack_demos(demos)
+    n = len(demos)
+    assert packed["obss"].shape[0] == n
+    assert packed["actions"].shape == packed["rewards"].shape
+    assert len(packed["missions"]) == n
+
+
+def test_oracle_bfs_respects_walls():
+    env = minigrid_tpu.make("MiniGrid-Negated-Simple-v0")
+    params = env.default_params
+    _, state = env.reset(jax.random.PRNGKey(0), params)
+    agent = OracleAgent(env, params)
+    target = np.asarray(state.extra["target_cell"])
+    path = agent.action_sequence(state, list(target))
+    assert path is not None
+    g = np.asarray(state.grid)
+    for (x, y) in path[:-1]:
+        assert g[x, y, 0] != 2  # never walks through walls
+
+
+def test_negated_env_rewards():
+    env = minigrid_tpu.make("MiniGrid-Negated-Simple-v0")
+    params = env.default_params
+    agent = OracleAgent(env, params)
+    demos = agent.generate_demos(jax.random.PRNGKey(3), 8)
+    # oracle demos that complete always end with +1 (target pickup)
+    for d in demos:
+        assert d[3][-1] == 1.0
+
+
+def test_directions_scripted_rotation():
+    env = minigrid_tpu.make("DirectionsDataset-v0")
+    params = env.default_params
+    _, state = env.reset(jax.random.PRNGKey(5), params)
+    n = int(state.extra["n_verbs"])
+    step = jax.jit(lambda s, a: env.step(s, a, params))
+    for t in range(n):
+        _, state, r, te, tr, _ = step(state, jnp.int32(0))
+    assert bool(te)  # terminates exactly after the verb sequence
+    assert 0 <= int(state.agent_dir) < 4
+
+
+def test_blocks_conservation():
+    env = minigrid_tpu.make("BlocksDataset-v0")
+    params = env.default_params
+    _, state = env.reset(jax.random.PRNGKey(1), params)
+    step = jax.jit(lambda s, a: env.step(s, a, params))
+    for t in range(int(state.extra["n_actions"])):
+        _, state, r, te, tr, _ = step(state, jnp.int32(0))
+    g = np.asarray(state.grid)
+    assert (g[..., 0] == 5).sum() == env.max_blocks  # blocks conserved
+    assert bool(te)
+    # stacks are gravity-consistent: no block floats above an empty cell
+    pos = np.asarray(state.extra["pos"])
+    for x, y in pos:
+        below = g[x, y + 1, 0]
+        assert below in (2, 5)  # wall (floor) or another block
+
+
+def test_benchmark_smoke():
+    from minigrid_tpu.tools.benchmark import benchmark
+
+    out = benchmark(num_resets=3, num_frames=5, num_envs=8, vector_steps=4)
+    assert out["reset_ms"] > 0
+    assert out["render_fps"] > 0
+    assert out["vector_env_steps_per_sec"] > 0
+
+
+def test_contrastive_split_cycling():
+    env = minigrid_tpu.make("ContrastiveDataset-v0")
+    env.set_split("val")
+    seen = {tuple(env.next_composition()) for _ in range(len(env.splits["val"]))}
+    assert len(seen) == len(env.splits["val"])  # cursor cycles the whole split
