@@ -17,7 +17,11 @@ import minigrid_tpu
 from minigrid_tpu.parallel.vector import VectorEnv
 
 NUM_ENVS = 4096
-NUM_STEPS = 256
+# Long scan: the remote-TPU dispatch overhead (~40 ms/call through the axon
+# tunnel) must be amortized to measure the device, not the tunnel.  At T=4096
+# every env truncates several times, so the auto-reset/regeneration lane is
+# fully exercised in the measured region.
+NUM_STEPS = 4096
 BASELINE_TARGET = 10_000_000.0  # env-steps/s north star (BASELINE.md)
 
 
@@ -49,7 +53,7 @@ def main() -> None:
     jax.block_until_ready((r, t))
 
     times = []
-    for i in range(3):
+    for i in range(2):
         t0 = time.perf_counter()
         r, t = run(jax.random.PRNGKey(i + 1))
         jax.block_until_ready((r, t))

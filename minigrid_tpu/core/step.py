@@ -9,14 +9,17 @@ the constant behavior tables in :mod:`minigrid_tpu.core.constants`; the door
 lock FSM (world_object.py:229-239) and box-reveal toggle
 (world_object.py:440-443) are folded into the same select tree.
 
-At most one grid cell (the cell in front of the agent) changes per step, so
-the whole grid update is a single dynamic scatter.
+At most one grid cell (the cell in front of the agent) changes per step; the
+read and the write are expressed as broadcast-compare masks (not
+gather/scatter ops) so the entire transition fuses into a handful of
+elementwise kernels under vmap.
 """
 
 from __future__ import annotations
 
 from enum import IntEnum
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -113,10 +116,23 @@ def base_step(
     )
     cx = jnp.clip(fwd_pos[0], 0, w - 1)
     cy = jnp.clip(fwd_pos[1], 0, h - 1)
+    # Front-cell read/write as broadcast-compare masks instead of per-env
+    # gather/scatter: XLA lowers a vmapped one-cell scatter to a serialized
+    # kCustom kernel that breaks fusion of the whole step program (measured
+    # ~86us per scatter at batch 4096 on v5e); a masked reduce / masked select
+    # stays elementwise and fuses with the rest of the transition.
+    xs = jax.lax.broadcasted_iota(jnp.int32, (w, h), 0)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (w, h), 1)
+    front_mask = (xs == cx) & (ys == cy)  # bool[w, h], one-hot
+    fm3 = front_mask[..., None]
     fwd_cell = jnp.where(
-        in_bounds, state.grid[cx, cy], jnp.asarray(C.WALL_TRIPLE, dtype=jnp.uint8)
+        in_bounds,
+        jnp.max(jnp.where(fm3, state.grid, jnp.uint8(0)), axis=(0, 1)),
+        jnp.asarray(C.WALL_TRIPLE, dtype=jnp.uint8),
     )
-    fwd_contains = state.box_contains[cx, cy]
+    fwd_contains = jnp.max(
+        jnp.where(fm3, state.box_contains, jnp.uint8(0)), axis=(0, 1)
+    )
     fwd_type = fwd_cell[0].astype(jnp.int32)
     fwd_state = fwd_cell[2].astype(jnp.int32)
     fwd_is_none = fwd_type == _EMPTY_T  # encode(None) == (empty, 0, 0)
@@ -173,12 +189,9 @@ def base_step(
     new_fwd_contains = jnp.where(picked_up | toggle_box, _EMPTY, new_fwd_contains)
     new_fwd_contains = jnp.where(dropped, state.carrying_contains, new_fwd_contains)
 
-    grid = state.grid.at[cx, cy].set(
-        jnp.where(in_bounds, new_fwd_cell, state.grid[cx, cy])
-    )
-    box_contains = state.box_contains.at[cx, cy].set(
-        jnp.where(in_bounds, new_fwd_contains, state.box_contains[cx, cy])
-    )
+    write_mask = (front_mask & in_bounds)[..., None]
+    grid = jnp.where(write_mask, new_fwd_cell, state.grid)
+    box_contains = jnp.where(write_mask, new_fwd_contains, state.box_contains)
 
     new_carrying = jnp.where(
         picked_up, fwd_cell, jnp.where(dropped, _EMPTY, state.carrying)

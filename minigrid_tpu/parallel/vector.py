@@ -72,6 +72,10 @@ class VectorEnv:
             done = terminated | truncated
             # Regenerate finished episodes from each env's own stream, select
             # state first, then pay for the obs kernel exactly once.
+            # (A batch-level lax.cond around the regeneration measures *slower*
+            # on TPU — the scalar conditional stalls the pipeline — so the
+            # generator runs unconditionally and generator cost is attacked at
+            # the source in each env's `generate`.)
             fresh_state = jax.vmap(
                 lambda s: env.generate(jax.random.split(s.rng)[0], params_)
             )(next_state)
