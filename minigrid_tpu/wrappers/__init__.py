@@ -389,6 +389,68 @@ class FlatObsWrapper(ObservationWrapper):
         return jnp.concatenate([img, self._strs[row]])
 
 
+def _goal_cell(state: EnvState, params: EnvParams) -> jnp.ndarray:
+    """(x, y) of the first goal cell, or (-1, -1) when no goal exists — the
+    `target_cell` the fork's wrappers assume the env exposes."""
+    w, h = params.width, params.height
+    is_goal = state.grid[..., 0] == C.OBJECT_TO_IDX["goal"]
+    flat = is_goal.reshape(-1)
+    idx = jnp.argmax(flat)
+    found = jnp.any(flat)
+    pos = jnp.stack([idx // h, idx % h]).astype(jnp.int32)
+    return jnp.where(found, pos, jnp.full((2,), -1, jnp.int32))
+
+
+class EasyModeWrapper(ObservationWrapper):
+    """Agent pose + goal coordinates, no grid image (wrappers.py:258-271).
+
+    The reference version reads ``obs['target_cell']``, a key its own base
+    ``gen_obs`` no longer emits (minigrid_env.py:645-649) — i.e. it is broken
+    upstream.  Here the target is recovered directly from the state tensor
+    (the goal cell), which is what the key contained when the fork's dataset
+    envs populated it."""
+
+    def transform(self, obs, state, params):
+        target = _goal_cell(state, params)
+        dir_one_hot = jax.nn.one_hot(state.agent_dir, 4, dtype=jnp.float32)
+        robot = jnp.concatenate(
+            [state.agent_pos.astype(jnp.float32), dir_one_hot]
+        )
+        return {
+            "mission": obs["mission"],
+            "visual_obs": target,
+            "robot_obs": robot,
+            "target_cell": target,
+        }
+
+
+class NoLanguageWrapper(ObservationWrapper):
+    """Full-grid encoding plus the target as coordinates so no language is
+    needed (wrappers.py:273-282; same upstream ``target_cell`` breakage as
+    EasyModeWrapper, same recovery here)."""
+
+    def transform(self, obs, state, params):
+        agent = jnp.stack(
+            [jnp.asarray(C.OBJECT_TO_IDX["agent"], jnp.uint8),
+             jnp.asarray(C.COLOR_TO_IDX["red"], jnp.uint8),
+             state.agent_dir.astype(jnp.uint8)]
+        )
+        full = state.grid.at[state.agent_pos[0], state.agent_pos[1]].set(agent)
+        target = _goal_cell(state, params)
+        dir_one_hot = jax.nn.one_hot(state.agent_dir, 4, dtype=jnp.float32)
+        robot = jnp.concatenate(
+            [target.astype(jnp.float32),
+             state.agent_pos.astype(jnp.float32),
+             dir_one_hot]
+        )
+        return {
+            **obs,
+            "image": full,
+            "robot_obs": robot,
+            "target_cell": target,
+        }
+
+
 __all__ = [
     "Wrapper",
     "ObservationWrapper",
@@ -406,4 +468,6 @@ __all__ = [
     "DirectionObsWrapper",
     "DictObservationSpaceWrapper",
     "FlatObsWrapper",
+    "EasyModeWrapper",
+    "NoLanguageWrapper",
 ]

@@ -166,3 +166,47 @@ def test_wrappers_compose_with_vector_env(wrap):
     for _ in range(3):
         obs, state, r, te, tr, _ = venv.step(state, acts)
     assert r.shape == (4,)
+
+
+def test_easy_mode_wrapper():
+    """EasyMode exposes goal coords + robot pose (ref wrappers.py:258-271,
+    with the upstream target_cell breakage repaired from state)."""
+    from minigrid_tpu.wrappers import EasyModeWrapper
+
+    env = EasyModeWrapper(make("MiniGrid-Empty-8x8-v0"))
+    p = env.default_params
+    obs, state = env.reset(jax.random.PRNGKey(0), p)
+    assert set(obs) == {"mission", "visual_obs", "robot_obs", "target_cell"}
+    # Empty-8x8 goal is fixed bottom-right (reference envs/empty.py:103).
+    np.testing.assert_array_equal(np.asarray(obs["target_cell"]), [6, 6])
+    robot = np.asarray(obs["robot_obs"])
+    assert robot.shape == (6,)
+    np.testing.assert_array_equal(robot[:2], np.asarray(state.agent_pos))
+    assert robot[2:].sum() == 1.0 and robot[2 + int(state.agent_dir)] == 1.0
+
+
+def test_no_language_wrapper():
+    """NoLanguage = FullyObs + target coords (ref wrappers.py:273-282)."""
+    from minigrid_tpu.wrappers import NoLanguageWrapper
+
+    env = NoLanguageWrapper(make("MiniGrid-Empty-8x8-v0"))
+    p = env.default_params
+    obs, state = env.reset(jax.random.PRNGKey(0), p)
+    assert obs["image"].shape == (8, 8, 3)
+    ax, ay = int(state.agent_pos[0]), int(state.agent_pos[1])
+    assert int(obs["image"][ax, ay, 0]) == C.OBJECT_TO_IDX["agent"]
+    np.testing.assert_array_equal(np.asarray(obs["target_cell"]), [6, 6])
+    robot = np.asarray(obs["robot_obs"])
+    np.testing.assert_array_equal(robot[:2], [6, 6])
+    np.testing.assert_array_equal(robot[2:4], np.asarray(state.agent_pos))
+
+
+def test_easy_mode_vector_compose():
+    from minigrid_tpu.wrappers import EasyModeWrapper
+
+    env = EasyModeWrapper(make("MiniGrid-Empty-8x8-v0"))
+    venv = VectorEnv(env, 4)
+    obs, state = venv.reset(jax.random.PRNGKey(0))
+    assert obs["target_cell"].shape == (4, 2)
+    obs, state, r, te, tr, _ = venv.step(state, jnp.zeros(4, jnp.int32))
+    assert obs["robot_obs"].shape == (4, 6)
