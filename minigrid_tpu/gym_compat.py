@@ -1,0 +1,221 @@
+"""Gymnasium interop: the reference's user-facing API over the tensor engine.
+
+The reference is consumed through ``gym.make(id)`` + the mutable
+``gym.Env`` protocol (minigrid/minigrid_env.py:23), but its fork disables
+registration with an immediate raise (minigrid/__init__.py:11).  This module
+restores that surface: :class:`GymEnv` adapts any functional
+:class:`minigrid_tpu.core.env.Env` to the Gymnasium API (reset/step/render/
+pickle, numpy observations, mission *strings*), and :func:`register_gym_envs`
+installs all ~170 ids into the Gymnasium registry so existing reference code
+runs unchanged::
+
+    import gymnasium as gym
+    import minigrid_tpu.gym_compat as gc
+    gc.register_gym_envs()
+    env = gym.make("MiniGrid-DoorKey-8x8-v0")
+    obs, info = env.reset(seed=0)
+    obs, r, term, trunc, info = env.step(env.action_space.sample())
+
+The adapter is a host-side convenience for interactive use, evaluation and
+conformance testing — large-scale training should use the functional
+``VectorEnv`` path directly.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import gymnasium as gym
+from gymnasium import spaces
+
+from minigrid_tpu.core.env import Env
+from minigrid_tpu.core.mission import MissionSpace
+from minigrid_tpu.registry import make as make_functional
+from minigrid_tpu.registry import registered_ids
+
+
+class GymEnv(gym.Env):
+    """Stateful Gymnasium adapter over a pure functional env.
+
+    Holds the current :class:`EnvState` pytree as the single mutable field;
+    ``reset``/``step`` call the jitted pure kernels and return numpy
+    observations with the mission detokenized to the reference's string
+    surface (minigrid_env.py:645-651 obs dict)."""
+
+    metadata = {"render_modes": ["rgb_array", "human"], "render_fps": 10}
+
+    def __init__(self, env: Env | str, render_mode: str | None = None,
+                 **kwargs: Any):
+        self.fenv = make_functional(env, **kwargs) if isinstance(env, str) else env
+        self.params = self.fenv.default_params
+        self.render_mode = render_mode
+        self._state = None
+        self._key = jax.random.PRNGKey(0)
+        self._window = None
+
+        fenv, params = self.fenv, self.params
+        self._jit_reset = jax.jit(lambda k: fenv.reset(k, params))
+        self._jit_step = jax.jit(lambda s, a: fenv.step(s, a, params))
+
+        self._build_spaces()
+        self.reward_range = (0.0, 1.0)
+
+    def _build_spaces(self) -> None:
+        v = self.params.agent_view_size
+        self.observation_space = spaces.Dict(
+            {
+                "image": spaces.Box(0, 255, (v, v, 3), dtype=np.uint8),
+                "direction": spaces.Discrete(4),
+                "mission": MissionSpace(mission_func=_FixedMission(self.fenv)),
+            }
+        )
+        self.action_space = spaces.Discrete(self.fenv.num_actions)
+
+    # -- gym protocol ---------------------------------------------------------
+    def reset(self, *, seed: int | None = None, options: dict | None = None):
+        super().reset(seed=seed)
+        if seed is not None:
+            self._key = jax.random.PRNGKey(seed)
+        self._key, k = jax.random.split(self._key)
+        obs, self._state = self._jit_reset(k)
+        if self.render_mode == "human":
+            self.render()
+        return self._host_obs(obs), {}
+
+    def step(self, action):
+        obs, self._state, reward, term, trunc, info = self._jit_step(
+            self._state, jnp.int32(int(action))
+        )
+        if self.render_mode == "human":
+            self.render()
+        return (
+            self._host_obs(obs),
+            float(reward),
+            bool(term),
+            bool(trunc),
+            dict(info),
+        )
+
+    def render(self):
+        frame = np.asarray(
+            self.fenv.get_frame(self._state, self.params, highlight=True)
+        )
+        if self.render_mode == "human":
+            from minigrid_tpu.utils.window import Window
+
+            if self._window is None:
+                self._window = Window(getattr(self.fenv, "name", "minigrid-tpu"))
+                self._window.show(block=False)
+            self._window.show_img(frame)
+            return None
+        return frame
+
+    def close(self):
+        if self._window is not None:
+            self._window.close()
+            self._window = None
+
+    # -- helpers ---------------------------------------------------------------
+    def _host_obs(self, obs: dict) -> dict:
+        out = {k: np.asarray(v) for k, v in obs.items() if k != "mission"}
+        out["mission"] = self.fenv.mission_text(np.asarray(obs["mission"]))
+        return out
+
+    @property
+    def unwrapped(self):
+        return self
+
+    # convenience passthroughs reference users rely on
+    @property
+    def agent_pos(self):
+        return tuple(np.asarray(self._state.agent_pos))
+
+    @property
+    def agent_dir(self):
+        return int(self._state.agent_dir)
+
+    @property
+    def carrying(self):
+        return np.asarray(self._state.carrying)
+
+    @property
+    def max_steps(self):
+        return self.params.max_steps
+
+    def hash(self, size: int = 16) -> str:
+        """State digest (MiniGridEnv.hash, minigrid_env.py:166-176)."""
+        from minigrid_tpu.utils.checkpoint import state_hash
+
+        return state_hash(self._state, size)
+
+    # pickling: jitted callables and spaces are rebuilt on load
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_state"] = jax.device_get(self._state)
+        for k in ("_jit_reset", "_jit_step", "_window",
+                  "observation_space", "action_space"):
+            d.pop(k, None)
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        self._window = None
+        fenv, params = self.fenv, self.params
+        self._jit_reset = jax.jit(lambda k: fenv.reset(k, params))
+        self._jit_step = jax.jit(lambda s, a: fenv.step(s, a, params))
+        self._build_spaces()
+
+
+class _FixedMission:
+    """Picklable zero-arg mission sampler for the space declaration (the
+    mission *distribution* is env-internal; the space's sample() surfaces a
+    representative string, matching how reference envs declare MissionSpace
+    from static templates, e.g. envs/doorkey.py:55-60)."""
+
+    def __init__(self, fenv: Env):
+        self.fenv = fenv
+
+    # MissionSpace asserts co_argcount == 0 for template-free spaces; a
+    # __call__ method has argcount 1 (self), so expose a zero-arg closure.
+    @property
+    def __code__(self):
+        return (lambda: None).__code__
+
+    def __call__(self) -> str:
+        return self.fenv.mission_text(np.zeros(4, np.int32))
+
+
+_REGISTERED = False
+
+
+def register_gym_envs(force: bool = False) -> int:
+    """Register every minigrid-tpu id with Gymnasium (the working analogue of
+    the reference's disabled ``register_minigrid_envs``, __init__.py:16-1094).
+    Returns the number of ids registered."""
+    global _REGISTERED
+    if _REGISTERED and not force:
+        return 0
+    count = 0
+    for env_id in registered_ids():
+        if env_id in gym.registry and not force:
+            continue
+        gym.register(
+            id=env_id,
+            entry_point=_make_entry(env_id),
+            disable_env_checker=True,
+        )
+        count += 1
+    _REGISTERED = True
+    return count
+
+
+def _make_entry(env_id: str):
+    def entry(render_mode: str | None = None, **kwargs: Any) -> GymEnv:
+        return GymEnv(env_id, render_mode=render_mode, **kwargs)
+
+    return entry
