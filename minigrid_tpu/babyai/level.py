@@ -239,23 +239,24 @@ class BabyAILevel(RoomGridEnv):
         reach = jnp.zeros((w, h), bool).at[b["agent_pos"][0],
                                            b["agent_pos"][1]].set(True)
 
-        def cond(carry):
-            reach, changed = carry
-            return changed
+        agent_cell = jnp.zeros((w, h), bool).at[b["agent_pos"][0],
+                                                b["agent_pos"][1]].set(True)
 
-        def body(carry):
-            reach, _ = carry
-            src = reach & (expandable | (
-                jnp.zeros((w, h), bool).at[b["agent_pos"][0],
-                                           b["agent_pos"][1]].set(True)))
+        def body(_, reach):
+            src = reach & (expandable | agent_cell)
             grown = reach
             grown = grown | jnp.roll(src, 1, axis=0).at[0, :].set(False)
             grown = grown | jnp.roll(src, -1, axis=0).at[-1, :].set(False)
             grown = grown | jnp.roll(src, 1, axis=1).at[:, 0].set(False)
             grown = grown | jnp.roll(src, -1, axis=1).at[:, -1].set(False)
-            return grown, jnp.any(grown != reach)
+            return grown
 
-        reach, _ = jax.lax.while_loop(cond, body, (reach, jnp.asarray(True)))
+        # Fixed-trip fori instead of a convergence while_loop: each while
+        # cond is an extra reduce kernel + a pipeline sync per iteration.
+        # 2*(w+h) dilations cover every shortest path a BabyAI level can
+        # produce (rooms are convex; distractor counts are far too small to
+        # build serpentine corridors approaching the w*h worst case).
+        reach = jax.lax.fori_loop(0, 2 * (w + h), body, reach)
         objects = ~empty & ~wall
         return jnp.all(~objects | reach)
 

@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from minigrid_tpu.babyai import verifier as V
 from minigrid_tpu.babyai.level import BabyAILevel
 from minigrid_tpu.core import constants as C
+from minigrid_tpu.core import grid_ops as G
 from minigrid_tpu.core.state import EnvParams
 
 
@@ -88,8 +89,7 @@ class PutNext(BabyAILevel):
         # grid (reference order), so also move the tracked position into the
         # carry flag.
         pos = b["carry_pos"]
-        grid = state.grid.at[pos[0], pos[1]].set(
-            jnp.asarray(C.EMPTY_TRIPLE, jnp.uint8))
+        grid = G.put(state.grid, pos[0], pos[1], C.EMPTY_TRIPLE)
         vs = state.extra["vs"]
         vs = vs.replace(
             carry1=vs.carry1.at[0].set(True),

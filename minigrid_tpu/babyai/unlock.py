@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from minigrid_tpu.babyai import verifier as V
 from minigrid_tpu.babyai.level import BabyAILevel
 from minigrid_tpu.core import constants as C
+from minigrid_tpu.core import grid_ops as G
 from minigrid_tpu.core.sampling import SORTED_COLOR_IDS, rand_color
 
 _DOOR = C.OBJECT_TO_IDX["door"]
@@ -104,8 +105,8 @@ class KeyInBox(BabyAILevel):
                                 door[1].astype(jnp.int32),
                                 jnp.zeros((), jnp.int32)]).astype(jnp.uint8)
         b = dict(b)
-        b["box_contains"] = b["box_contains"].at[pos[0], pos[1]].set(
-            jnp.where(ok, key_triple, b["box_contains"][pos[0], pos[1]]))
+        b["box_contains"] = G.put_if(b["box_contains"], pos[0], pos[1],
+                                     key_triple, ok)
         b = self.place_agent_in_room(b, keys[4], params, 1, 1)
         instr = V.single_clause(V.K_OPEN, V.desc(_DOOR))
         return self.finish_level(b, instr, params)
@@ -161,7 +162,7 @@ class BlockedUnlockPickup(BabyAILevel):
         ball = jnp.stack([jnp.asarray(_BALL, jnp.int32), rand_color(keys[3]),
                           jnp.zeros((), jnp.int32)]).astype(jnp.uint8)
         b = dict(b)
-        b["grid"] = b["grid"].at[door_pos[0] - 1, door_pos[1]].set(ball)
+        b["grid"] = G.put(b["grid"], door_pos[0] - 1, door_pos[1], ball)
         b, _, _ = self.add_object(b, keys[4], params, 0, 0, "key",
                                   door[1].astype(jnp.int32))
         b = self.place_agent_in_room(b, keys[5], params, 0, 0)

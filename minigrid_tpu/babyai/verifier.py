@@ -248,12 +248,20 @@ def _update_tracking(
     fx = jnp.clip(outcome.fwd_pos[0], 0, w - 1)
     fy = jnp.clip(outcome.fwd_pos[1], 0, h - 1)
 
+    # One-cell update across the K tracked planes as a masked select (not a
+    # scatter — see core/grid_ops.put for why).
+    import jax
+
+    xs = jax.lax.broadcasted_iota(jnp.int32, (w, h), 0)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (w, h), 1)
+    front = (xs == fx) & (ys == fy)  # bool[w, h]
+
     def upd(tracked, carry):
-        was = tracked[:, fx, fy]
+        was = jnp.any(tracked & front[None], axis=(1, 2))
         new_carry = jnp.where(outcome.picked_up, was, carry)
         cell = jnp.where(outcome.picked_up, False, was)
         cell = jnp.where(outcome.dropped & new_carry, True, cell)
-        tracked = tracked.at[:, fx, fy].set(cell)
+        tracked = jnp.where(front[None], cell[:, None, None], tracked)
         new_carry = jnp.where(outcome.dropped, False, new_carry)
         return tracked, new_carry
 

@@ -38,8 +38,26 @@ def set_where(grid: jnp.ndarray, mask: jnp.ndarray, triple: jnp.ndarray) -> jnp.
 
 
 def put(grid: jnp.ndarray, x, y, triple) -> jnp.ndarray:
-    """put_obj (minigrid_env.py:373-380) — single-cell write, dynamic coords ok."""
-    return grid.at[x, y].set(jnp.asarray(triple, dtype=jnp.uint8))
+    """put_obj (minigrid_env.py:373-380) — single-cell write, dynamic coords ok.
+
+    Written as a broadcast-compare masked select, not a scatter: a vmapped
+    one-cell scatter lowers to a serialized kCustom kernel that breaks fusion
+    (measured ~86us per scatter at batch 4096 on TPU v5e), while a select
+    fuses with surrounding generator ops."""
+    w, h = grid.shape[:2]
+    xs, ys = coords(w, h)
+    mask = (xs == x) & (ys == y)
+    return set_where(grid, mask, triple)
+
+
+def put_if(grid: jnp.ndarray, x, y, triple, enabled=True) -> jnp.ndarray:
+    """Conditional single-cell write as a fused masked select (see
+    :func:`put` for why this is not a scatter).  ``enabled`` may be traced;
+    when False the grid passes through unchanged."""
+    w, h = grid.shape[:2]
+    xs, ys = coords(w, h)
+    mask = (xs == x) & (ys == y) & jnp.asarray(enabled)
+    return set_where(grid, mask, triple)
 
 
 def horz_wall(grid: jnp.ndarray, x, y, length=None, triple=None) -> jnp.ndarray:
@@ -167,6 +185,7 @@ def place_obj(
         mask &= ~reject_mask
     pos, ok = sample_cell(key, mask)
     if triple is not None:
-        cell = jnp.where(ok, jnp.asarray(triple, dtype=jnp.uint8), grid[pos[0], pos[1]])
-        grid = grid.at[pos[0], pos[1]].set(cell)
+        xs, ys = coords(w, h)
+        write = (xs == pos[0]) & (ys == pos[1]) & ok
+        grid = set_where(grid, write, triple)
     return grid, pos, ok

@@ -118,15 +118,13 @@ class BlocksDataset(Env):
         # grid rewrite: clear moved cells, write new cells
         grid = state.grid
         for i in range(n):
-            grid = grid.at[pos[i, 0], pos[i, 1]].set(
-                jnp.where(moved[i], jnp.asarray(C.EMPTY_TRIPLE, jnp.uint8),
-                          grid[pos[i, 0], pos[i, 1]]))
+            grid = G.put_if(grid, pos[i, 0], pos[i, 1], C.EMPTY_TRIPLE,
+                            moved[i])
         for i in range(n):
             cell = jnp.stack([jnp.asarray(_BLOCK, jnp.uint8),
                               colors[i].astype(jnp.uint8),
                               jnp.asarray(0, jnp.uint8)])
-            grid = grid.at[new_pos[i, 0], new_pos[i, 1]].set(
-                jnp.where(moved[i], cell, grid[new_pos[i, 0], new_pos[i, 1]]))
+            grid = G.put_if(grid, new_pos[i, 0], new_pos[i, 1], cell, moved[i])
 
         curr = state.extra["curr"]
         trace = state.extra["trace"].at[jnp.clip(curr, 0, self.max_actions - 1)

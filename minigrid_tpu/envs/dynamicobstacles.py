@@ -99,10 +99,8 @@ class DynamicObstaclesEnv(Env):
             mask &= ~((xs == state.agent_pos[0]) & (ys == state.agent_pos[1]))
             pos, ok = G.sample_cell(jax.random.fold_in(key, i), mask)
             new_pos = jnp.where(ok, pos, old)
-            grid = grid.at[old[0], old[1]].set(
-                jnp.where(ok, jnp.asarray(C.EMPTY_TRIPLE), grid[old[0], old[1]])
-            )
-            grid = grid.at[new_pos[0], new_pos[1]].set(_BALL)
+            grid = G.put_if(grid, old[0], old[1], C.EMPTY_TRIPLE, ok)
+            grid = G.put(grid, new_pos[0], new_pos[1], _BALL)
             positions = positions.at[i].set(new_pos)
         state = state.replace(grid=grid, extra=positions)
 

@@ -33,6 +33,8 @@ _DOOR = C.OBJECT_TO_IDX["door"]
 
 
 class MultiRoomEnv(Env):
+    expensive_generation = True  # recursive chain placement with retry loops
+
     name = "MultiRoom"
 
     def __init__(self, minNumRooms: int, maxNumRooms: int, maxRoomSize: int = 10,
@@ -193,8 +195,7 @@ class MultiRoomEnv(Env):
                               jnp.asarray(C.STATE_TO_IDX["closed"], jnp.int32)
                               ]).astype(jnp.uint8)
             pos = entries[r]
-            grid = grid.at[pos[0], pos[1]].set(
-                jnp.where(active, door, grid[pos[0], pos[1]]))
+            grid = G.put_if(grid, pos[0], pos[1], door, active)
             prev_color_rank = jnp.where(active, rank, prev_color_rank)
 
         # --- agent in the first room, goal in the last (multiroom.py:180-183) -

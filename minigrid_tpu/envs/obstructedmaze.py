@@ -61,9 +61,8 @@ class ObstructedMazeEnv(RoomGridEnv):
                 box = jnp.array([_BOX, _CYAN, 0], jnp.uint8)
                 b, pos, ok = self.place_in_room(b, k_key, params, i, j, box)
                 b = dict(b)
-                b["box_contains"] = b["box_contains"].at[pos[0], pos[1]].set(
-                    jnp.where(ok, key_triple, b["box_contains"][pos[0], pos[1]])
-                )
+                b["box_contains"] = G.put_if(b["box_contains"], pos[0], pos[1],
+                                             key_triple, ok)
             else:
                 b, _, _ = self.place_in_room(b, k_key, params, i, j, key_triple)
         return b, door, door_pos

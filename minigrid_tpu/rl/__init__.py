@@ -4,6 +4,7 @@ PPO with GAE over the vectorized env, one jitted program per update, mesh
 sharding for scale-out (SURVEY.md §2.6, §7 step 9).
 """
 
+from minigrid_tpu.rl.bc import BCConfig, bc_train, evaluate_policy, pack_bc_dataset
 from minigrid_tpu.rl.networks import ActorCritic, ObsEncoder
 from minigrid_tpu.rl.ppo import (
     PPO,
@@ -17,6 +18,10 @@ from minigrid_tpu.rl.ppo import (
 
 __all__ = [
     "ActorCritic",
+    "BCConfig",
+    "bc_train",
+    "evaluate_policy",
+    "pack_bc_dataset",
     "ObsEncoder",
     "PPO",
     "PPOConfig",

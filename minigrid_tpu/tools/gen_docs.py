@@ -1,0 +1,113 @@
+"""Environment documentation generator.
+
+The analogue of the reference's sphinx doc generators
+(docs/scripts/gen_mds.py:1-124, gen_gifs.py:1-80): walks the registry,
+groups ids by env class, and emits one markdown page per environment family
+with its description (class docstring), registered presets, action space,
+mission surface, and optionally a rendered frame PNG.
+
+Usage:
+    python -m minigrid_tpu.tools.gen_docs --out docs/environments [--images]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import os
+
+
+def build_pages(with_images: bool = False, out_dir: str = "docs/environments",
+                seed: int = 0) -> dict[str, str]:
+    import jax
+    import numpy as np
+
+    import minigrid_tpu
+    from minigrid_tpu.core.step import Actions
+    from minigrid_tpu.registry import spec
+
+    by_cls: dict = collections.defaultdict(list)
+    for env_id in minigrid_tpu.registered_ids():
+        by_cls[spec(env_id).cls].append(env_id)
+
+    pages: dict[str, str] = {}
+    for cls, ids in sorted(by_cls.items(), key=lambda kv: kv[0].__name__):
+        name = cls.__name__
+        lines = [f"# {name}", ""]
+        doc = (cls.__doc__ or "").strip()
+        if doc:
+            lines += [doc, ""]
+
+        if with_images:
+            env = minigrid_tpu.make(ids[0])
+            params = env.default_params
+            _, state = env.reset(jax.random.PRNGKey(seed), params)
+            frame = np.asarray(env.get_frame(state, params))
+            img_path = os.path.join(out_dir, "img", f"{name}.png")
+            os.makedirs(os.path.dirname(img_path), exist_ok=True)
+            _write_png(img_path, frame)
+            lines += [f"![{name}](img/{name}.png)", ""]
+
+        env = minigrid_tpu.make(ids[0])
+        try:  # mission-code width varies per family (BabyAI packs more slots)
+            mission = env.mission_text(np.zeros(4, np.int32)) or "(episode-specific)"
+        except Exception:
+            mission = "(episode-specific)"
+        lines += ["## Mission", "", f"`{mission}`", ""]
+        lines += ["## Action space", ""]
+        lines += [f"| {a.value} | `{a.name}` |" for a in Actions]
+        lines.insert(-len(list(Actions)), "|----|--------|")
+        lines.insert(-len(list(Actions)) - 1, "| id | action |")
+        lines += ["", "## Registered presets", ""]
+        lines += ["| id | kwargs |", "|----|--------|"]
+        for env_id in sorted(ids):
+            kw = spec(env_id).kwargs
+            kw_str = ", ".join(f"{k}={v}" for k, v in kw.items()) or "—"
+            lines.append(f"| `{env_id}` | {kw_str} |")
+        pages[name] = "\n".join(lines) + "\n"
+    return pages
+
+
+def _write_png(path: str, rgb) -> None:
+    """Minimal dependency-free PNG writer (uint8 RGB)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w = rgb.shape[0], rgb.shape[1]
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF)
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw, 6))
+           + chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="docs/environments")
+    p.add_argument("--images", action="store_true")
+    args = p.parse_args()
+    pages = build_pages(with_images=args.images, out_dir=args.out)
+    os.makedirs(args.out, exist_ok=True)
+    index = ["# Environments", ""]
+    for name, content in sorted(pages.items()):
+        with open(os.path.join(args.out, f"{name}.md"), "w") as f:
+            f.write(content)
+        index.append(f"- [{name}]({name}.md)")
+    with open(os.path.join(args.out, "index.md"), "w") as f:
+        f.write("\n".join(index) + "\n")
+    print(f"wrote {len(pages)} pages to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

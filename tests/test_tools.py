@@ -97,3 +97,14 @@ def test_contrastive_split_cycling():
     env.set_split("val")
     seen = {tuple(env.next_composition()) for _ in range(len(env.splits["val"]))}
     assert len(seen) == len(env.splits["val"])  # cursor cycles the whole split
+
+
+def test_gen_docs_builds_pages():
+    """Docs generator (reference docs/scripts/gen_mds.py analogue) emits a
+    page per env family with presets."""
+    from minigrid_tpu.tools.gen_docs import build_pages
+
+    pages = build_pages()
+    assert len(pages) > 50
+    assert "MiniGrid-DoorKey-8x8-v0" in pages["DoorKeyEnv"]
+    assert "## Action space" in pages["EmptyEnv"]
