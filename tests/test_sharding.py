@@ -47,3 +47,28 @@ def test_sharded_rollout_matches_single_device():
     assert n1[0] == n8[0] == 32 * 20
     assert abs(n1[1] - n8[1]) < 1e-3  # same total reward
     assert n1[2] == n8[2]  # same number of episode ends
+
+
+def test_pod_mesh_ppo_on_device_farm():
+    """multihost.pod_mesh over the virtual farm drives a full PPO update
+    (the single-process degradation of the pod path)."""
+    import jax
+
+    import minigrid_tpu
+    from minigrid_tpu.parallel.multihost import initialize, pod_mesh, process_local_slice
+    from minigrid_tpu.rl import PPOConfig
+    from minigrid_tpu.rl.ppo import train_step_fn
+
+    assert initialize() is False  # single-process: graceful no-op
+    mesh = pod_mesh(tp=2)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    start, size = process_local_slice(16)
+    assert (start, size) == (0, 16)
+
+    env = minigrid_tpu.make("MiniGrid-Empty-5x5-v0")
+    cfg = PPOConfig(num_envs=8, num_steps=8, num_updates=1,
+                    num_minibatches=2, update_epochs=1)
+    fn, runner = train_step_fn(env, env.default_params, cfg, mesh=mesh)
+    runner, metrics = jax.jit(fn)(runner)
+    jax.block_until_ready(metrics)
+    assert float(metrics["loss"]) == float(metrics["loss"])  # finite
