@@ -104,6 +104,11 @@ class BabyAILevel(RoomGridEnv):
         # the params field holds a fallback bound.
         self.fixed_max_steps = max_steps is not None
         nav_bound = room_size**2 * num_rows * num_cols * 8
+        # Speculative generation width (see generate): single-room levels
+        # have small gen graphs and spend most steps regenerating under
+        # auto-reset; multi-room graphs are large enough that the 4x graph
+        # blowup dominates compile time.
+        self.parallel_gen_attempts = 4 if num_rows * num_cols == 1 else 1
         super().__init__(room_size=room_size, num_rows=num_rows,
                          num_cols=num_cols,
                          max_steps=max_steps if max_steps is not None else nav_bound,
@@ -135,7 +140,21 @@ class BabyAILevel(RoomGridEnv):
             return (b, instr, articles, valid, k, n + 1)
 
         key, k0, k_state = jax.random.split(key, 3)
-        b, instr, articles, valid = attempt(k0)
+        # Speculative parallel attempts: "first valid of K iid attempts" is
+        # the same distribution as sequential retry, but the K generations
+        # have no sequential dependency — under vmap the fueled while_loop
+        # otherwise runs max-attempts-across-the-batch full gen_level bodies
+        # (~7 at batch 4096 with a 16% reject rate).  The while below only
+        # mops up the ~p^K stragglers.  K trades compile size for runtime:
+        # multi-room LevelGen graphs are large, so they stay sequential.
+        K = self.parallel_gen_attempts
+        cand = [attempt(k) for k in jax.random.split(k0, max(K, 1))]
+        b, instr, articles, valid = cand[-1]
+        for cb, ci, ca, cv in reversed(cand[:-1]):
+            b, instr, articles = jax.tree_util.tree_map(
+                lambda a, bb, cv=cv: jnp.where(cv, a, bb),
+                (cb, ci, ca), (b, instr, articles))
+            valid = cv | valid
         b, instr, articles, valid, _, _ = jax.lax.while_loop(
             cond, body, (b, instr, articles, valid, key, jnp.asarray(1))
         )
@@ -239,16 +258,21 @@ class BabyAILevel(RoomGridEnv):
         reach = jnp.zeros((w, h), bool).at[b["agent_pos"][0],
                                            b["agent_pos"][1]].set(True)
 
-        agent_cell = jnp.zeros((w, h), bool).at[b["agent_pos"][0],
-                                                b["agent_pos"][1]].set(True)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (w, h), 0)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (w, h), 1)
+        agent_cell = (xs == b["agent_pos"][0]) & (ys == b["agent_pos"][1])
+        # constant edge masks kill the roll wrap-around without per-iteration
+        # dynamic-update-slices (each lowers to a scatter kernel)
+        not_r0, not_rl = xs != 0, xs != w - 1
+        not_c0, not_cl = ys != 0, ys != h - 1
 
         def body(_, reach):
             src = reach & (expandable | agent_cell)
             grown = reach
-            grown = grown | jnp.roll(src, 1, axis=0).at[0, :].set(False)
-            grown = grown | jnp.roll(src, -1, axis=0).at[-1, :].set(False)
-            grown = grown | jnp.roll(src, 1, axis=1).at[:, 0].set(False)
-            grown = grown | jnp.roll(src, -1, axis=1).at[:, -1].set(False)
+            grown = grown | (jnp.roll(src, 1, axis=0) & not_r0)
+            grown = grown | (jnp.roll(src, -1, axis=0) & not_rl)
+            grown = grown | (jnp.roll(src, 1, axis=1) & not_c0)
+            grown = grown | (jnp.roll(src, -1, axis=1) & not_cl)
             return grown
 
         # Fixed-trip fori instead of a convergence while_loop: each while

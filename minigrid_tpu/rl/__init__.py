@@ -6,6 +6,7 @@ sharding for scale-out (SURVEY.md §2.6, §7 step 9).
 
 from minigrid_tpu.rl.bc import BCConfig, bc_train, evaluate_policy, pack_bc_dataset
 from minigrid_tpu.rl.networks import ActorCritic, ObsEncoder
+from minigrid_tpu.rl.rnn import RecurrentActorCritic, RecurrentPPO
 from minigrid_tpu.rl.ppo import (
     PPO,
     EpisodeStats,
@@ -30,4 +31,6 @@ __all__ = [
     "ppo_loss",
     "tp_param_sharding",
     "train_step_fn",
+    "RecurrentActorCritic",
+    "RecurrentPPO",
 ]

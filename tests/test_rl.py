@@ -140,3 +140,39 @@ def test_bc_train_on_oracle_demos():
                          jax.random.PRNGKey(0))
     assert float(m["loss"][-1]) < float(m["loss"][0])
     assert float(m["accuracy"][-10:].mean()) > 0.4
+
+
+def test_recurrent_ppo_update():
+    """LSTM actor-critic PPO: update runs, params move, metrics finite,
+    carry resets on done (memory tasks need recurrence, envs/memory.py)."""
+    from minigrid_tpu.rl.rnn import RecurrentActorCritic, RecurrentPPO
+
+    env = minigrid_tpu.make("MiniGrid-MemoryS7-v0")
+    cfg = PPOConfig(num_envs=8, num_steps=16, num_updates=1,
+                    num_minibatches=2, update_epochs=2)
+    tr = RecurrentPPO(env, env.default_params, cfg)
+    runner = tr.init(jax.random.PRNGKey(0))
+    before = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(),
+                                    runner[0].params)
+    runner, m = tr.update(runner)
+    moved = any(
+        bool(np.any(np.asarray(a) != b))
+        for a, b in zip(jax.tree_util.tree_leaves(runner[0].params),
+                        jax.tree_util.tree_leaves(before)))
+    assert moved
+    for k, v in m.items():
+        assert bool(jnp.all(jnp.isfinite(v))), k
+
+    # done=True clears the carry: outputs for a cleared carry equal the
+    # fresh-carry outputs
+    net = RecurrentActorCritic(num_actions=env.num_actions)
+    p = env.default_params
+    obs, _ = jax.vmap(lambda k: env.reset(k, p))(
+        jax.random.split(jax.random.PRNGKey(1), 2))
+    carry0 = net.initialize_carry(2)
+    params = net.init(jax.random.PRNGKey(2), carry0, obs,
+                      jnp.zeros((2,), bool))
+    dirty = jax.tree_util.tree_map(lambda c: c + 1.0, carry0)
+    _, (l1, v1) = net.apply(params, dirty, obs, jnp.ones((2,), bool))
+    _, (l2, v2) = net.apply(params, carry0, obs, jnp.zeros((2,), bool))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5)
