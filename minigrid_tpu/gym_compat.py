@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import gymnasium as gym
 from gymnasium import spaces
 
+from minigrid_tpu.core import constants as C
 from minigrid_tpu.core.env import Env
 from minigrid_tpu.core.mission import MissionSpace
 from minigrid_tpu.registry import make as make_functional
@@ -152,6 +153,104 @@ class GymEnv(gym.Env):
         from minigrid_tpu.utils.checkpoint import state_hash
 
         return state_hash(self._state, size)
+
+    # -- view geometry (MiniGridEnv, minigrid_env.py:396-522) -----------------
+    @property
+    def dir_vec(self):
+        return np.asarray(C.DIR_TO_VEC[self.agent_dir])
+
+    @property
+    def right_vec(self):
+        dx, dy = self.dir_vec
+        return np.array((-dy, dx))
+
+    @property
+    def front_pos(self):
+        return np.asarray(self.agent_pos) + self.dir_vec
+
+    @property
+    def steps_remaining(self):
+        return self.max_steps - int(self._state.step_count)
+
+    @property
+    def grid(self) -> np.ndarray:
+        """Full-grid encode, (W, H, 3) uint8 — the reference's
+        ``grid.encode()`` surface (the tensor engine stores exactly this)."""
+        return np.asarray(self._state.grid)
+
+    def get_view_coords(self, i, j):
+        """World (i, j) -> agent-view coordinates (minigrid_env.py:425-450);
+        results may fall outside [0, view_size)."""
+        ax, ay = self.agent_pos
+        dx, dy = self.dir_vec
+        rx, ry = self.right_vec
+        sz = self.params.agent_view_size
+        hs = sz // 2
+        tx = ax + (dx * (sz - 1)) - (rx * hs)
+        ty = ay + (dy * (sz - 1)) - (ry * hs)
+        lx, ly = i - tx, j - ty
+        return rx * lx + ry * ly, -(dx * lx + dy * ly)
+
+    def relative_coords(self, x, y):
+        """(vx, vy) if inside the view else None (minigrid_env.py:484-495)."""
+        vx, vy = self.get_view_coords(x, y)
+        v = self.params.agent_view_size
+        if vx < 0 or vy < 0 or vx >= v or vy >= v:
+            return None
+        return int(vx), int(vy)
+
+    def in_view(self, x, y) -> bool:
+        return self.relative_coords(x, y) is not None
+
+    def agent_sees(self, x, y) -> bool:
+        """Non-empty world cell (x, y) visible in the current obs
+        (minigrid_env.py:505-522)."""
+        coords = self.relative_coords(x, y)
+        if coords is None:
+            return False
+        vx, vy = coords
+        from minigrid_tpu.core.obs import gen_obs
+
+        obs = gen_obs(self._state, self.params)
+        obs_type = int(np.asarray(obs["image"])[vx, vy, 0])
+        world_type = int(np.asarray(self._state.grid)[x, y, 0])
+        # reference: decoded obs cell is not None (i.e. a real object) and
+        # its type equals the world cell's
+        hidden = (C.OBJECT_TO_IDX["unseen"], C.OBJECT_TO_IDX["empty"])
+        return obs_type == world_type and obs_type not in hidden
+
+    def __str__(self) -> str:
+        """2-chars-per-cell ASCII map (MiniGridEnv.__str__,
+        minigrid_env.py:182-233)."""
+        obj_str = {"wall": "W", "floor": "F", "door": "D", "key": "K",
+                   "ball": "A", "box": "B", "goal": "G", "lava": "V"}
+        idx_to_obj = {v: k for k, v in C.OBJECT_TO_IDX.items()}
+        idx_to_color = {v: k for k, v in C.COLOR_TO_IDX.items()}
+        dir_str = {0: ">", 1: "V", 2: "<", 3: "^"}
+        g = np.asarray(self._state.grid)
+        w, h = g.shape[:2]
+        ax, ay = self.agent_pos
+        rows = []
+        for j in range(h):
+            row = ""
+            for i in range(w):
+                if (i, j) == (ax, ay):
+                    row += 2 * dir_str[self.agent_dir]
+                    continue
+                t, c, s = (int(v) for v in g[i, j])
+                name = idx_to_obj.get(t, "?")
+                if name == "empty":
+                    row += "  "
+                    continue
+                color0 = idx_to_color.get(c, "?")[:1].upper()
+                if name == "door":
+                    row += ("__" if s == C.STATE_TO_IDX["open"]
+                            else ("L" if s == C.STATE_TO_IDX["locked"]
+                                  else "D") + color0)
+                    continue
+                row += obj_str.get(name, name[:1].upper()) + color0
+            rows.append(row)
+        return "\n".join(rows)
 
     # pickling: jitted callables and spaces are rebuilt on load
     def __getstate__(self):

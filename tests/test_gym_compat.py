@@ -72,3 +72,67 @@ def test_gym_registry_make():
     assert obs["image"].shape == (7, 7, 3)
     obs, r, term, trunc, _ = env.step(env.action_space.sample())
     env.close()
+
+
+def test_view_geometry_and_agent_sees_parity():
+    """agent_sees / in_view / front_pos match the reference implementation
+    in lockstep (the visibility-equivalence pillar, ref tests/test_envs.py:120-142)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from minigrid.envs.doorkey import DoorKeyEnv as RefDoorKey
+    except Exception:
+        pytest.skip("reference not importable")
+
+    from minigrid_tpu.utils.convert import from_reference
+
+    ref = RefDoorKey(size=8)
+    ref.reset(seed=5)
+    env = gc.GymEnv("MiniGrid-DoorKey-8x8-v0")
+    env.reset(seed=0)
+    env._state = from_reference(ref)
+
+    def ref_sees(x, y):
+        # The fork's own agent_sees crashes on Grid.decode (the latent
+        # decode bug, SURVEY §2.7), so evaluate the same predicate on the
+        # reference's obs without the decode round-trip.
+        coords = ref.relative_coords(x, y)
+        if coords is None:
+            return False
+        vx, vy = coords
+        obs_type = int(ref.gen_obs()["image"][vx, vy, 0])
+        world_type = int(ref.grid.encode()[x, y, 0])
+        return obs_type == world_type and obs_type not in (0, 1)
+
+    rng = np.random.default_rng(0)
+    for t in range(60):
+        a = int(rng.integers(0, 7))
+        ref.step(a)
+        env.step(a)
+        assert np.array_equal(env.front_pos, np.asarray(ref.front_pos)), t
+        for x in range(1, 7):
+            for y in range(1, 7):
+                if ref.grid.get(x, y) is None:
+                    continue
+                assert env.in_view(x, y) == ref.in_view(x, y), (t, x, y)
+                assert env.agent_sees(x, y) == ref_sees(x, y), (t, x, y)
+
+
+def test_ascii_render_matches_reference():
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from minigrid.envs.doorkey import DoorKeyEnv as RefDoorKey
+    except Exception:
+        pytest.skip("reference not importable")
+
+    from minigrid_tpu.utils.convert import from_reference
+
+    ref = RefDoorKey(size=8)
+    ref.reset(seed=3)
+    env = gc.GymEnv("MiniGrid-DoorKey-8x8-v0")
+    env.reset(seed=0)
+    env._state = from_reference(ref)
+    assert str(env) == str(ref)
