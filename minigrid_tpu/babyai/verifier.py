@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from minigrid_tpu.core import constants as C
-from minigrid_tpu.core.step import DROP, PICKUP, TOGGLE, StepOutcome
+from minigrid_tpu.core.step import DROP, PICKUP, TOGGLE, StepOutcome, dir_to_vec
 
 # Instruction clause kinds
 K_NONE, K_GOTO, K_PICKUP, K_OPEN, K_PUTNEXT = range(5)
@@ -196,10 +196,9 @@ def desc_match_mask(
     ys = jnp.arange(h)[None, :]
     vx = xs - agent_pos[0]
     vy = ys - agent_pos[1]
-    d1v = jnp.asarray(C.DIR_TO_VEC)[agent_dir]
-    d2v = jnp.stack([-d1v[1], d1v[0]])
-    dot_d1 = vx * d1v[0] + vy * d1v[1]
-    dot_d2 = vx * d2v[0] + vy * d2v[1]
+    f0, f1 = dir_to_vec(agent_dir)  # selects, not a table gather
+    dot_d1 = vx * f0 + vy * f1
+    dot_d2 = vx * (-f1) + vy * f0
     loc_ok = jnp.where(
         loc == 1, dot_d2 < 0,
         jnp.where(loc == 2, dot_d2 > 0,
@@ -291,7 +290,8 @@ def _eval_clauses(
     lower to serialized kCustom kernels (~40-80us each at batch 4096 on TPU
     v5e) and there would be ~25 of them per step here."""
     w, h = grid.shape[:2]
-    fwd = agent_pos + jnp.asarray(C.DIR_TO_VEC)[agent_dir]
+    fdx, fdy = dir_to_vec(agent_dir)
+    fwd = agent_pos + jnp.stack([fdx, fdy])
     in_b = (fwd[0] >= 0) & (fwd[0] < w) & (fwd[1] >= 0) & (fwd[1] < h)
     fx = jnp.clip(fwd[0], 0, w - 1)
     fy = jnp.clip(fwd[1], 0, h - 1)

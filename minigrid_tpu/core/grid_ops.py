@@ -50,6 +50,16 @@ def put(grid: jnp.ndarray, x, y, triple) -> jnp.ndarray:
     return set_where(grid, mask, triple)
 
 
+def read_cell(grid: jnp.ndarray, x, y) -> jnp.ndarray:
+    """Single-cell read as a masked reduce (a vmapped one-cell gather lowers
+    to a serialized kCustom kernel — see :func:`put`).  Returns the (3,)
+    triple at (x, y); coords must be in bounds."""
+    w, h = grid.shape[:2]
+    xs, ys = coords(w, h)
+    m = (xs == x) & (ys == y)
+    return jnp.max(jnp.where(m[..., None], grid, jnp.uint8(0)), axis=(0, 1))
+
+
 def put_if(grid: jnp.ndarray, x, y, triple, enabled=True) -> jnp.ndarray:
     """Conditional single-cell write as a fused masked select (see
     :func:`put` for why this is not a scatter).  ``enabled`` may be traced;

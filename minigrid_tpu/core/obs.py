@@ -20,9 +20,9 @@ import jax.numpy as jnp
 
 from minigrid_tpu.core import constants as C
 from minigrid_tpu.core.state import EnvParams, EnvState
+from minigrid_tpu.core.step import _table_ranges, dir_to_vec, in_table
 
-_DIR_TO_VEC = jnp.asarray(C.DIR_TO_VEC)
-_SEE_BEHIND = jnp.asarray(C.SEE_BEHIND)
+_SEE_BEHIND_RANGES = _table_ranges(C.SEE_BEHIND)
 _WALL = jnp.asarray(C.WALL_TRIPLE)
 _EMPTY = jnp.asarray(C.EMPTY_TRIPLE)
 _DOOR = C.OBJECT_TO_IDX["door"]
@@ -37,12 +37,12 @@ def view_world_coords(
     The agent sits at view cell (V//2, V-1) facing 'up' the view
     (minigrid_env.py:615, 623)."""
     v = view_size
-    f = _DIR_TO_VEC[agent_dir]  # forward
-    r = jnp.stack([-f[1], f[0]])  # right (minigrid_env.py:409-415)
+    f0, f1 = dir_to_vec(agent_dir)  # forward (selects, not a table gather)
+    r0, r1 = -f1, f0  # right (minigrid_env.py:409-415)
     vi = jnp.arange(v, dtype=jnp.int32)[:, None]  # (V, 1)
     vj = jnp.arange(v, dtype=jnp.int32)[None, :]  # (1, V)
-    wx = agent_pos[0] + f[0] * (v - 1 - vj) + r[0] * (vi - v // 2)
-    wy = agent_pos[1] + f[1] * (v - 1 - vj) + r[1] * (vi - v // 2)
+    wx = agent_pos[0] + f0 * (v - 1 - vj) + r0 * (vi - v // 2)
+    wy = agent_pos[1] + f1 * (v - 1 - vj) + r1 * (vi - v // 2)
     return wx, wy
 
 
@@ -65,7 +65,8 @@ def see_behind(cells: jnp.ndarray) -> jnp.ndarray:
     (world_object.py:59-61, 210-211, 226-227)."""
     t = cells[..., 0].astype(jnp.int32)
     s = cells[..., 2].astype(jnp.int32)
-    return _SEE_BEHIND[t] & ((t != _DOOR) | (s == C.STATE_TO_IDX["open"]))
+    return in_table(t, _SEE_BEHIND_RANGES) & (
+        (t != _DOOR) | (s == C.STATE_TO_IDX["open"]))
 
 
 def process_vis(cells: jnp.ndarray, view_size: int) -> jnp.ndarray:

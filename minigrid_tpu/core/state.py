@@ -86,11 +86,17 @@ def base_state(
     box_contains: jnp.ndarray | None = None,
     extra: Any = None,
     max_steps=0,
+    has_boxes: bool = True,
 ) -> EnvState:
     """Assemble a fresh EnvState at step 0 (the tail of reference reset,
-    minigrid_env.py:152-156)."""
+    minigrid_env.py:152-156).
+
+    ``has_boxes=False`` (env families whose cells can never hold a Box)
+    drops the ``box_contains``/``carrying_contains`` planes from the pytree
+    entirely — the transition skips the box logic statically and the
+    auto-reset lane stops moving a dead W×H×3 plane every step."""
     w, h, _ = grid.shape
-    if box_contains is None:
+    if box_contains is None and has_boxes:
         box_contains = empty_grid(w, h)
     if mission is None:
         mission = jnp.zeros((4,), dtype=jnp.int32)
@@ -100,7 +106,7 @@ def base_state(
         agent_pos=jnp.asarray(agent_pos, dtype=jnp.int32),
         agent_dir=jnp.asarray(agent_dir, dtype=jnp.int32),
         carrying=no_object(),
-        carrying_contains=no_object(),
+        carrying_contains=no_object() if has_boxes else None,
         step_count=jnp.asarray(0, dtype=jnp.int32),
         terminated=jnp.asarray(False),
         truncated=jnp.asarray(False),

@@ -26,11 +26,50 @@ from flax import struct
 from minigrid_tpu.core import constants as C
 from minigrid_tpu.core.state import EnvParams, EnvState
 
-# Device-resident copies of the behavior tables.
-_DIR_TO_VEC = jnp.asarray(C.DIR_TO_VEC)  # int32[4,2]
-_CAN_OVERLAP = jnp.asarray(C.CAN_OVERLAP)  # bool[34]
-_CAN_PICKUP = jnp.asarray(C.CAN_PICKUP)  # bool[34]
 _EMPTY = jnp.asarray(C.EMPTY_TRIPLE)  # uint8[3]
+
+
+def _table_ranges(table) -> list[tuple[int, int]]:
+    """Contiguous index ranges where a boolean behavior table is True.
+
+    A vmapped one-element gather from a table lowers to a serialized kCustom
+    kernel on TPU (measured ~20us per gather at batch 4096), so the type
+    tables are compiled into compare-chains instead — derived from the
+    tables, not hard-coded."""
+    import numpy as np
+
+    ids = np.where(np.asarray(table))[0]
+    assert len(ids) > 0
+    ranges, start, prev = [], int(ids[0]), int(ids[0])
+    for i in ids[1:]:
+        i = int(i)
+        if i == prev + 1:
+            prev = i
+        else:
+            ranges.append((start, prev))
+            start = prev = i
+    ranges.append((start, prev))
+    return ranges
+
+
+def in_table(t: jnp.ndarray, ranges: list[tuple[int, int]]) -> jnp.ndarray:
+    """Membership of type ids in a behavior table as a compare-chain."""
+    acc = None
+    for lo, hi in ranges:
+        c = (t == lo) if lo == hi else ((t >= lo) & (t <= hi))
+        acc = c if acc is None else (acc | c)
+    return acc
+
+
+_OVERLAP_RANGES = _table_ranges(C.CAN_OVERLAP)
+_PICKUP_RANGES = _table_ranges(C.CAN_PICKUP)
+
+
+def dir_to_vec(d: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """DIR_TO_VEC (constants.py:102-111) as selects — not a table gather."""
+    dx = jnp.where(d == 0, 1, jnp.where(d == 2, -1, 0))
+    dy = jnp.where(d == 1, 1, jnp.where(d == 3, -1, 0))
+    return dx, dy
 
 _DOOR = C.OBJECT_TO_IDX["door"]
 _KEY = C.OBJECT_TO_IDX["key"]
@@ -75,7 +114,8 @@ def can_overlap(cell: jnp.ndarray) -> jnp.ndarray:
     override (world_object.py:222-224)."""
     t = cell[..., 0].astype(jnp.int32)
     s = cell[..., 2].astype(jnp.int32)
-    return _CAN_OVERLAP[t] | ((t == _DOOR) & (s == C.STATE_TO_IDX["open"]))
+    return in_table(t, _OVERLAP_RANGES) | (
+        (t == _DOOR) & (s == C.STATE_TO_IDX["open"]))
 
 
 def base_step(
@@ -109,7 +149,8 @@ def base_step(
 
     # --- front cell (computed with the PRE-action direction,
     #     minigrid_env.py:532-535) -------------------------------------------
-    fwd_pos = state.agent_pos + _DIR_TO_VEC[state.agent_dir]
+    dx, dy = dir_to_vec(state.agent_dir)
+    fwd_pos = state.agent_pos + jnp.stack([dx, dy])
     w, h = params.width, params.height
     in_bounds = (
         (fwd_pos[0] >= 0) & (fwd_pos[0] < w) & (fwd_pos[1] >= 0) & (fwd_pos[1] < h)
@@ -130,9 +171,15 @@ def base_step(
         jnp.max(jnp.where(fm3, state.grid, jnp.uint8(0)), axis=(0, 1)),
         jnp.asarray(C.WALL_TRIPLE, dtype=jnp.uint8),
     )
-    fwd_contains = jnp.max(
-        jnp.where(fm3, state.box_contains, jnp.uint8(0)), axis=(0, 1)
-    )
+    # Envs that can never hold a Box carry no contents planes (state.py
+    # base_state(has_boxes=False)) — the box logic drops out statically.
+    has_boxes = state.box_contains is not None
+    if has_boxes:
+        fwd_contains = jnp.max(
+            jnp.where(fm3, state.box_contains, jnp.uint8(0)), axis=(0, 1)
+        )
+    else:
+        fwd_contains = _EMPTY
     fwd_type = fwd_cell[0].astype(jnp.int32)
     fwd_state = fwd_cell[2].astype(jnp.int32)
     fwd_is_none = fwd_type == _EMPTY_T  # encode(None) == (empty, 0, 0)
@@ -151,7 +198,8 @@ def base_step(
     )
 
     # --- pickup (minigrid_env.py:558-563) -------------------------------------
-    picked_up = is_pickup & _CAN_PICKUP[fwd_type] & hands_free & in_bounds
+    picked_up = (is_pickup & in_table(fwd_type, _PICKUP_RANGES)
+                 & hands_free & in_bounds)
     # --- drop (minigrid_env.py:566-570) ---------------------------------------
     dropped = is_drop & fwd_is_none & ~hands_free & in_bounds
     # --- toggle (minigrid_env.py:573-575) --------------------------------------
@@ -185,19 +233,26 @@ def base_step(
     new_fwd_cell = jnp.where(toggle_door, door_cell, new_fwd_cell)
     new_fwd_cell = jnp.where(toggle_box, fwd_contains, new_fwd_cell)
 
-    new_fwd_contains = fwd_contains
-    new_fwd_contains = jnp.where(picked_up | toggle_box, _EMPTY, new_fwd_contains)
-    new_fwd_contains = jnp.where(dropped, state.carrying_contains, new_fwd_contains)
-
     write_mask = (front_mask & in_bounds)[..., None]
     grid = jnp.where(write_mask, new_fwd_cell, state.grid)
-    box_contains = jnp.where(write_mask, new_fwd_contains, state.box_contains)
+
+    if has_boxes:
+        new_fwd_contains = fwd_contains
+        new_fwd_contains = jnp.where(picked_up | toggle_box, _EMPTY,
+                                     new_fwd_contains)
+        new_fwd_contains = jnp.where(dropped, state.carrying_contains,
+                                     new_fwd_contains)
+        box_contains = jnp.where(write_mask, new_fwd_contains,
+                                 state.box_contains)
+        new_carrying_contains = jnp.where(
+            picked_up, fwd_contains,
+            jnp.where(dropped, _EMPTY, state.carrying_contains))
+    else:
+        box_contains = None
+        new_carrying_contains = None
 
     new_carrying = jnp.where(
         picked_up, fwd_cell, jnp.where(dropped, _EMPTY, state.carrying)
-    )
-    new_carrying_contains = jnp.where(
-        picked_up, fwd_contains, jnp.where(dropped, _EMPTY, state.carrying_contains)
     )
 
     truncated = step_count >= max_steps.astype(jnp.int32)  # minigrid_env.py:584-585

@@ -85,7 +85,7 @@ class BlocksDataset(Env):
         # mission = block color order (init phrase)
         mission = jnp.concatenate([colors, jnp.zeros((3,), jnp.int32)])
         return base_state(grid, jnp.asarray([1, 1], jnp.int32),
-                          jnp.asarray(0, jnp.int32), rng=keys[2], extra=extra)
+                          jnp.asarray(0, jnp.int32), rng=keys[2], extra=extra, has_boxes=False)
 
     def step_state(self, state: EnvState, action, params: EnvParams):
         """One scripted stack move (blocks_dataset.py:194-252)."""

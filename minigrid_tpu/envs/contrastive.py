@@ -96,7 +96,7 @@ class ContrastiveDataset(Env):
                              jnp.zeros((), jnp.int32)])
         return base_state(grid, agent_pos, agent_dir, rng=keys[4],
                           mission=mission,
-                          extra={"target": comp, "target_pos": pos})
+                          extra={"target": comp, "target_pos": pos}, has_boxes=False)
 
     def post_step(self, state, action, reward, terminated, outcome, params):
         # done near the target pays; toggle terminates
@@ -161,7 +161,7 @@ class ContrastiveTrajectoryDataset(ContrastiveDataset):
                              jnp.zeros((), jnp.int32)])
         return base_state(grid, agent_pos, agent_dir, rng=keys[-1],
                           mission=mission,
-                          extra={"target": comp, "target_pos": pos})
+                          extra={"target": comp, "target_pos": pos}, has_boxes=False)
 
     def post_step(self, state, action, reward, terminated,
                   outcome: StepOutcome, params):

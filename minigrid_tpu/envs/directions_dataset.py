@@ -135,7 +135,7 @@ class DirectionsDataset(Env):
                  "verb_step": jnp.asarray(0, jnp.int32),
                  "start_dir": agent_dir}
         return base_state(grid, agent_pos, agent_dir, rng=keys[2],
-                          mission=mission, extra=extra)
+                          mission=mission, extra=extra, has_boxes=False)
 
     def step_state(self, state: EnvState, action, params: EnvParams):
         """Scripted transition: the passed action is ignored

@@ -55,7 +55,7 @@ class DistShiftEnv(Env):
         else:
             _, pos, _ = G.place_obj(k_pos, grid, None)
             direction = jax.random.randint(k_dir, (), 0, 4, dtype=jnp.int32)
-        return base_state(grid, pos, direction, rng=k_state)
+        return base_state(grid, pos, direction, rng=k_state, has_boxes=False)
 
     def mission_text(self, mission) -> str:
         return "get to the green goal square"

@@ -79,7 +79,7 @@ class DoorKeyEnv(Env):
         grid = jnp.where(wall_mask[..., None], jnp.asarray(C.WALL_TRIPLE, jnp.uint8), base)
         grid = jnp.where(door_mask[..., None], jnp.array([_DOOR, _YELLOW, _LOCKED], jnp.uint8), grid)
         grid = jnp.where(key_mask[..., None], jnp.array([_KEY, _YELLOW, 0], jnp.uint8), grid)
-        return base_state(grid, agent_pos, agent_dir, rng=k_state)
+        return base_state(grid, agent_pos, agent_dir, rng=k_state, has_boxes=False)
 
     def mission_text(self, mission) -> str:
         return "use the key to open the door and then get to the goal"

@@ -27,6 +27,7 @@ from minigrid_tpu.core import constants as C
 from minigrid_tpu.core import grid_ops as G
 from minigrid_tpu.core.env import Env
 from minigrid_tpu.core.state import EnvParams, EnvState, base_state, empty_grid
+from minigrid_tpu.core.step import dir_to_vec
 
 _BALL = jnp.asarray([C.OBJECT_TO_IDX["ball"], C.COLOR_TO_IDX["blue"], 0],
                     dtype=jnp.uint8)
@@ -74,17 +75,18 @@ class DynamicObstaclesEnv(Env):
                                        agent_pos=agent_pos)
             positions.append(pos)
         extra = jnp.stack(positions) if positions else jnp.zeros((0, 2), jnp.int32)
-        return base_state(grid, agent_pos, agent_dir, rng=keys[-1], extra=extra)
+        return base_state(grid, agent_pos, agent_dir, rng=keys[-1], extra=extra, has_boxes=False)
 
     def step_state(self, state: EnvState, action, params: EnvParams):
         action = jnp.asarray(action, dtype=jnp.int32)
         action = jnp.where(action >= 3, 0, action)  # clamp to turn/move
 
         # Pre-move collision predicate (dynamicobstacles.py:142-143).
-        fwd = state.agent_pos + jnp.asarray(C.DIR_TO_VEC)[state.agent_dir]
+        fdx, fdy = dir_to_vec(state.agent_dir)
+        fwd = state.agent_pos + jnp.stack([fdx, fdy])
         fx = jnp.clip(fwd[0], 0, params.width - 1)
         fy = jnp.clip(fwd[1], 0, params.height - 1)
-        fwd_type = state.grid[fx, fy, 0].astype(jnp.int32)
+        fwd_type = G.read_cell(state.grid, fx, fy)[0].astype(jnp.int32)
         not_clear = (fwd_type != _EMPTY_T) & (fwd_type != _GOAL_T)
 
         # Move obstacles sequentially (dynamicobstacles.py:146-156).

@@ -60,7 +60,7 @@ class FetchEnv(Env):
         )
         mission = jnp.stack([syntax, tgt[1], tgt[0], jnp.zeros((), jnp.int32)])
         return base_state(grid, agent_pos, agent_dir, rng=keys[-1],
-                          mission=mission, extra=tgt)
+                          mission=mission, extra=tgt, has_boxes=False)
 
     def post_step(self, state, action, reward, terminated, outcome: StepOutcome,
                   params):

@@ -70,7 +70,7 @@ class FourRoomsEnv(Env):
             grid, _, _ = G.place_obj(
                 keys[6], grid, C.GOAL_TRIPLE, agent_pos=agent_pos
             )
-        return base_state(grid, agent_pos, agent_dir, rng=keys[7])
+        return base_state(grid, agent_pos, agent_dir, rng=keys[7], has_boxes=False)
 
     def mission_text(self, mission) -> str:
         return "reach the goal"

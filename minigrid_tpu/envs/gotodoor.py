@@ -73,7 +73,7 @@ class GoToDoorEnv(Env):
         mission = jnp.stack([colors[tgt], jnp.zeros((), jnp.int32),
                              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)])
         return base_state(grid, agent_pos, agent_dir, rng=keys[9],
-                          mission=mission, extra=door_pos[tgt])
+                          mission=mission, extra=door_pos[tgt], has_boxes=False)
 
     def post_step(self, state, action, reward, terminated, outcome, params):
         # toggle forbidden; done next to the target door pays

@@ -49,7 +49,7 @@ class LavaGapEnv(Env):
 
         return base_state(
             grid, jnp.array([1, 1], jnp.int32), jnp.asarray(0, jnp.int32),
-            rng=k_state,
+            rng=k_state, has_boxes=False,
         )
 
     def mission_text(self, mission) -> str:

@@ -98,7 +98,7 @@ class LockedRoomEnv(Env):
         mission = jnp.stack([colors[locked], colors[kr],
                              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)])
         return base_state(grid, agent_pos, agent_dir, rng=keys[9],
-                          mission=mission)
+                          mission=mission, has_boxes=False)
 
     def mission_text(self, mission) -> str:
         lc = C.IDX_TO_COLOR[int(mission[0])]

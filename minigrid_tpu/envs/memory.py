@@ -92,7 +92,7 @@ class MemoryEnv(Env):
             "success_pos": jnp.stack([hallway_end + 1, success_y]),
             "failure_pos": jnp.stack([hallway_end + 1, failure_y]),
         }
-        return base_state(grid, agent_pos, agent_dir, rng=keys[5], extra=extra)
+        return base_state(grid, agent_pos, agent_dir, rng=keys[5], extra=extra, has_boxes=False)
 
     def step_state(self, state: EnvState, action, params: EnvParams):
         action = jnp.asarray(action, jnp.int32)

@@ -208,7 +208,7 @@ class MultiRoomEnv(Env):
                                  agent_pos=agent_pos,
                                  top=(tops[last, 0], tops[last, 1]),
                                  size=(sizes[last, 0], sizes[last, 1]))
-        return base_state(grid, agent_pos, agent_dir, rng=keys[-1])
+        return base_state(grid, agent_pos, agent_dir, rng=keys[-1], has_boxes=False)
 
     def mission_text(self, mission) -> str:
         return "traverse the rooms to get to the goal"

@@ -56,19 +56,19 @@ class RedBlueDoorEnv(Env):
                      jnp.array([_DOOR, C.COLOR_TO_IDX["blue"], _CLOSED], jnp.uint8))
 
         extra = {"red_pos": red_pos, "blue_pos": blue_pos}
-        return base_state(grid, agent_pos, agent_dir, rng=keys[4], extra=extra)
+        return base_state(grid, agent_pos, agent_dir, rng=keys[4], extra=extra, has_boxes=False)
 
     def step_state(self, state: EnvState, action, params: EnvParams):
         red_pos, blue_pos = state.extra["red_pos"], state.extra["blue_pos"]
-        red_before = state.grid[red_pos[0], red_pos[1], 2] == _OPEN
-        blue_before = state.grid[blue_pos[0], blue_pos[1], 2] == _OPEN
+        red_before = G.read_cell(state.grid, red_pos[0], red_pos[1])[2] == _OPEN
+        blue_before = G.read_cell(state.grid, blue_pos[0], blue_pos[1])[2] == _OPEN
 
         state, reward, terminated, truncated = super().step_state(
             state, action, params
         )
 
-        red_after = state.grid[red_pos[0], red_pos[1], 2] == _OPEN
-        blue_after = state.grid[blue_pos[0], blue_pos[1], 2] == _OPEN
+        red_after = G.read_cell(state.grid, red_pos[0], red_pos[1])[2] == _OPEN
+        blue_after = G.read_cell(state.grid, blue_pos[0], blue_pos[1])[2] == _OPEN
 
         # Ordering FSM (redbluedoors.py:113-124).
         success = blue_after & red_before

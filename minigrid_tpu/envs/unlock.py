@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from minigrid_tpu.core import constants as C
+from minigrid_tpu.core import grid_ops as G
 from minigrid_tpu.core.roomgrid import RoomGridEnv
 from minigrid_tpu.core.state import EnvParams, EnvState, base_state
 from minigrid_tpu.core.step import TOGGLE
@@ -39,7 +40,7 @@ class UnlockEnv(RoomGridEnv):
     def post_step(self, state, action, reward, terminated, outcome, params):
         # Toggle with the door now open succeeds (unlock.py:93-97).
         dp = state.extra
-        is_open = state.grid[dp[0], dp[1], 2] == C.STATE_TO_IDX["open"]
+        is_open = G.read_cell(state.grid, dp[0], dp[1])[2] == C.STATE_TO_IDX["open"]
         success = (action == TOGGLE) & is_open
         reward = jnp.where(success, self.task_reward(state, params), reward)
         return state, reward, terminated | success
