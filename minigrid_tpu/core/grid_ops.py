@@ -50,6 +50,13 @@ def put(grid: jnp.ndarray, x, y, triple) -> jnp.ndarray:
     return set_where(grid, mask, triple)
 
 
+def take1(vec: jnp.ndarray, i) -> jnp.ndarray:
+    """One dynamic element of a small 1-D array as a masked reduce — a
+    vmapped 1-element gather lowers to a serialized kCustom kernel."""
+    n = vec.shape[0]
+    return jnp.sum(jnp.where(jnp.arange(n) == i, vec, 0))
+
+
 def read_cell(grid: jnp.ndarray, x, y) -> jnp.ndarray:
     """Single-cell read as a masked reduce (a vmapped one-cell gather lowers
     to a serialized kCustom kernel — see :func:`put`).  Returns the (3,)

@@ -197,11 +197,12 @@ class RoomGridEnv(Env):
         room = jnp.asarray(j, jnp.int32) * self.num_cols + jnp.asarray(i, jnp.int32)
         b = dict(b)
         b["grid"] = G.put_if(b["grid"], pos[0], pos[1], triple, enabled)
-        b["has_door"] = b["has_door"].at[wid].max(enabled)
+        nw = b["has_door"].shape[0]
+        b["has_door"] = b["has_door"] | ((jnp.arange(nw) == wid) & enabled)
         # room.locked = locked — unconditional assignment (roomgrid.py:260)
-        b["locked"] = b["locked"].at[room].set(
-            jnp.where(enabled, locked, b["locked"][room])
-        )
+        n_rooms = b["locked"].shape[0]
+        b["locked"] = jnp.where((jnp.arange(n_rooms) == room) & enabled,
+                                locked, b["locked"])
         return b, triple, pos
 
     def remove_wall(self, b: dict, i: int, j: int, wall_idx: int) -> dict:
@@ -223,7 +224,8 @@ class RoomGridEnv(Env):
             raise ValueError("invalid wall index")
         b["grid"] = g
         wid, _ = self.wall_id_for(i, j, wall_idx)
-        b["has_door"] = b["has_door"].at[wid].set(True)
+        b["has_door"] = b["has_door"] | (jnp.arange(b["has_door"].shape[0])
+                                         == wid)
         return b
 
     def place_in_room(self, b: dict, key: jnp.ndarray, params: EnvParams,
@@ -264,7 +266,8 @@ class RoomGridEnv(Env):
                                         enabled=enabled)
         # record (kind, color-name-rank) for distractor uniqueness
         color_rank = jnp.argmax(SORTED_COLOR_IDS == color)
-        b["obj_mask"] = b["obj_mask"].at[kind_local * 10 + color_rank].max(ok)
+        b["obj_mask"] = b["obj_mask"] | (
+            (jnp.arange(30) == kind_local * 10 + color_rank) & ok)
         return b, triple, pos
 
     def place_agent_in_room(self, b: dict, key: jnp.ndarray, params: EnvParams,
@@ -469,6 +472,9 @@ class RoomGridEnv(Env):
             grid = G.put_if(grid, pos[n, 0], pos[n, 1], triple, ok[n])
         b = dict(b)
         b["grid"] = grid
-        b["obj_mask"] = b["obj_mask"].at[kind_local * 10 + combos % 10].max(ok)
+        combo_slot = (kind_local * 10 + combos % 10)  # (num,)
+        hit = jnp.any((jnp.arange(30)[None, :] == combo_slot[:, None])
+                      & ok[:, None], axis=0)
+        b["obj_mask"] = b["obj_mask"] | hit
         added = jnp.stack([kinds_t, color], axis=1).astype(jnp.int32)
         return b, added, pos

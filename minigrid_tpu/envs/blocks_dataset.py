@@ -127,8 +127,10 @@ class BlocksDataset(Env):
             grid = G.put_if(grid, new_pos[i, 0], new_pos[i, 1], cell, moved[i])
 
         curr = state.extra["curr"]
-        trace = state.extra["trace"].at[jnp.clip(curr, 0, self.max_actions - 1)
-                                        ].set(jnp.stack([bi, end_col]))
+        t_row = jnp.arange(self.max_actions) == jnp.clip(
+            curr, 0, self.max_actions - 1)
+        trace = jnp.where(t_row[:, None], jnp.stack([bi, end_col]),
+                          state.extra["trace"])
         curr = curr + 1
         terminated = curr >= state.extra["n_actions"]
         step_count = state.step_count + 1

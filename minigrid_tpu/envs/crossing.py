@@ -58,34 +58,37 @@ class CrossingEnv(Env):
 
         # --- select N rivers among 2K candidates (crossing.py:142-147) -------
         # ids [0, k) are vertical lines (x = cand), [k, 2k) horizontal (y = cand).
+        # All small-array scatters/gathers below are compare-select math —
+        # each vmapped .at[].set / 1-element gather is a serialized kCustom
+        # kernel (~20-40us at batch 4096), and this generator runs every
+        # step in the auto-reset lane.
         perm = jax.random.permutation(k_riv, 2 * k)
         sel = perm[:n]  # (n,) selected candidate ids
-        v_mask = jnp.zeros((k,), dtype=bool)  # vertical river at cand[j]?
-        h_mask = jnp.zeros((k,), dtype=bool)
-        v_mask = v_mask.at[jnp.where(sel < k, sel, 0)].max(sel < k)
-        h_mask = h_mask.at[jnp.where(sel >= k, sel - k, 0)].max(sel >= k)
+        slot = jnp.arange(k)
+        v_mask = jnp.any((slot[None, :] == sel[:, None]) & (sel < k)[:, None],
+                         axis=0)
+        h_mask = jnp.any((slot[None, :] == (sel - k)[:, None])
+                         & (sel >= k)[:, None], axis=0)
 
         # --- obstacle fill (crossing.py:148-153) ------------------------------
         xs, ys = G.coords(s, s)
         # column x carries a vertical river iff x==cand[j] & v_mask[j]
-        v_cols = jnp.zeros((s,), dtype=bool).at[cand_arr].set(v_mask)
-        h_rows = jnp.zeros((s,), dtype=bool).at[cand_arr].set(h_mask)
+        v_river = jnp.any((xs[..., None] == cand_arr) & v_mask, axis=-1)
+        h_river = jnp.any((ys[..., None] == cand_arr) & h_mask, axis=-1)
         interior = (xs >= 1) & (xs <= s - 2) & (ys >= 1) & (ys <= s - 2)
-        river_cells = (v_cols[xs] | h_rows[ys]) & interior
-        grid = G.set_where(grid, river_cells, obstacle)
+        grid = G.set_where(grid, (v_river | h_river) & interior, obstacle)
 
         # --- limits arrays (crossing.py:160-161), compacted and padded --------
         # limits_v = [0, sorted selected vertical lines ..., s-1, pad...]
         def limits(mask):
             count = jnp.cumsum(mask.astype(jnp.int32))
             total = count[-1]
-            lim = jnp.zeros((k + 2,), dtype=jnp.int32)
-            lim = lim.at[jnp.where(mask, count, k + 1)].set(
-                jnp.where(mask, cand_arr, 0)
-            )  # slot 0 stays 0; masked-out writes land in the scratch slot
-            lim = jnp.where(
-                jnp.arange(k + 2) == total + 1, s - 1, lim
-            )
+            # lim[i] = the i-th selected line (1-indexed) — one-hot matmul
+            # instead of a dynamic scatter
+            ii = jnp.arange(k + 2)[:, None]  # (k+2, 1)
+            onehot = (mask & (count[None, :] == ii))  # (k+2, k)
+            lim = jnp.sum(onehot * cand_arr[None, :], axis=1)
+            lim = jnp.where(jnp.arange(k + 2) == total + 1, s - 1, lim)
             return lim, total
 
         limits_v, nv = limits(v_mask)  # vertical river x's
@@ -103,16 +106,17 @@ class CrossingEnv(Env):
         empty = jnp.asarray(C.EMPTY_TRIPLE)
         for t in range(n):
             is_h = dir_h[t]
+            lv0 = G.take1(limits_v, room_i)
+            lv1 = G.take1(limits_v, room_i + 1)
+            lh0 = G.take1(limits_h, room_j)
+            lh1 = G.take1(limits_h, room_j + 1)
             # crossing a vertical river: x = that river, y random in room span
-            xh = limits_v[room_i + 1]
-            yh = jax.random.randint(
-                open_keys[t], (), limits_h[room_j] + 1, limits_h[room_j + 1]
-            )
+            xh = lv1
+            yh = jax.random.randint(open_keys[t], (), lh0 + 1, lh1)
             # crossing a horizontal river: y = that river, x random in room span
-            yv = limits_h[room_j + 1]
+            yv = lh1
             xv = jax.random.randint(
-                jax.random.fold_in(open_keys[t], 1),
-                (), limits_v[room_i] + 1, limits_v[room_i + 1]
+                jax.random.fold_in(open_keys[t], 1), (), lv0 + 1, lv1
             )
             ox = jnp.where(is_h, xh, xv)
             oy = jnp.where(is_h, yh, yv)

@@ -117,12 +117,13 @@ class MultiRoomEnv(Env):
             # --- commit or retry --------------------------------------------
             idx = c["count"]
             commit = valid
-            tops = c["tops"].at[idx].set(
-                jnp.where(commit, jnp.stack([top_x, top_y]), c["tops"][idx]))
-            sizes = c["sizes"].at[idx].set(
-                jnp.where(commit, jnp.stack([sx, sy]), c["sizes"][idx]))
-            entries = c["entries"].at[idx].set(
-                jnp.where(commit, epos, c["entries"][idx]))
+            # one-row conditional writes as masked selects (dynamic-index
+            # scatters lower to serialized kCustom kernels under vmap)
+            row = (slot == idx) & commit
+            tops = jnp.where(row[:, None], jnp.stack([top_x, top_y]),
+                             c["tops"])
+            sizes = jnp.where(row[:, None], jnp.stack([sx, sy]), c["sizes"])
+            entries = jnp.where(row[:, None], epos, c["entries"])
             return {
                 "tops": tops,
                 "sizes": sizes,
