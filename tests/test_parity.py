@@ -200,3 +200,37 @@ def test_empty_reset_obs_matches_reference():
     env = EmptyEnv(size=5)
     obs, _ = env.reset(jax.random.PRNGKey(0), env.default_params)
     np.testing.assert_array_equal(obs_ref["image"], np.asarray(obs["image"]))
+
+
+@requires_reference
+@pytest.mark.parametrize("case", ["lavagap", "distshift", "fourrooms",
+                                  "crossing_lava", "crossing_wall",
+                                  "multiroom", "lockedroom"])
+@pytest.mark.parametrize("seed", range(2))
+def test_base_dynamics_env_parity(case, seed):
+    """Families whose step is exactly the base transition: lower the
+    reference episode and lockstep both over random actions."""
+    import minigrid.envs as R
+
+    import minigrid_tpu.envs as E
+
+    cases = {
+        "lavagap": (lambda: R.LavaGapEnv(size=7), lambda: E.LavaGapEnv(size=7)),
+        "distshift": (lambda: R.DistShiftEnv(), lambda: E.DistShiftEnv()),
+        "fourrooms": (lambda: R.FourRoomsEnv(), lambda: E.FourRoomsEnv()),
+        "crossing_lava": (lambda: R.CrossingEnv(size=9, num_crossings=2),
+                          lambda: E.CrossingEnv(size=9, num_crossings=2)),
+        "crossing_wall": (
+            lambda: R.CrossingEnv(size=9, num_crossings=1,
+                                  obstacle_type=__import__(
+                                      "minigrid.core.world_object",
+                                      fromlist=["Wall"]).Wall),
+            lambda: E.CrossingEnv(size=9, num_crossings=1,
+                                  obstacle_type="wall")),
+        "multiroom": (lambda: R.MultiRoomEnv(minNumRooms=2, maxNumRooms=3),
+                      lambda: E.MultiRoomEnv(minNumRooms=2, maxNumRooms=3)),
+        "lockedroom": (lambda: R.LockedRoomEnv(size=19),
+                       lambda: E.LockedRoomEnv(size=19)),
+    }
+    ref_f, env_f = cases[case]
+    _lockstep(ref_f(), env_f(), seed, num_steps=120)
