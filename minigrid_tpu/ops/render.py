@@ -94,7 +94,10 @@ def render_grid(
     variant = jnp.zeros((w, h), dtype=jnp.int32)
     if agent_pos is not None:
         slot = (1 + agent_dir).astype(jnp.int32)
-        variant = variant.at[agent_pos[0], agent_pos[1]].set(slot)
+        xs = jnp.arange(w)[:, None]
+        ys = jnp.arange(h)[None, :]
+        at_agent = (xs == agent_pos[0]) & (ys == agent_pos[1])
+        variant = jnp.where(at_agent, slot, variant)
     if highlight_mask is not None:
         variant = variant + 5 * highlight_mask.astype(jnp.int32)
 
@@ -117,9 +120,12 @@ def full_render(
         in_bounds = ((wx >= 0) & (wx < params.width)
                      & (wy >= 0) & (wy < params.height))
         m = vis_mask & in_bounds
-        hmask = jnp.zeros((params.width, params.height), dtype=bool)
-        hmask = hmask.at[jnp.clip(wx, 0, params.width - 1),
-                         jnp.clip(wy, 0, params.height - 1)].max(m)
+        # back-project the view onto world cells with a compare instead of
+        # a scatter (V*V x W*H compare is tiny; scatters serialize)
+        xs = jnp.arange(params.width)[:, None, None, None]
+        ys = jnp.arange(params.height)[None, :, None, None]
+        hmask = jnp.any((xs == wx[None, None]) & (ys == wy[None, None])
+                        & m[None, None], axis=(2, 3))
     else:
         hmask = None
     return render_grid(state.grid, atlas, state.agent_pos, state.agent_dir,

@@ -128,8 +128,16 @@ class _BonusWrapper(Wrapper):
             state.inner, action, params
         )
         idx = self._index(inner, action)
-        new_count = state.counts[idx] + 1
-        counts = state.counts.at[idx].set(new_count)
+        # masked-select update: a dynamic-index gather/scatter on the count
+        # table would lower to serialized kCustom kernels under vmap
+        shape = state.counts.shape
+        hit = jnp.ones(shape, bool)
+        for d, i in enumerate(idx):
+            ar = jnp.arange(shape[d]).reshape(
+                tuple(-1 if k == d else 1 for k in range(len(shape))))
+            hit &= ar == i
+        counts = state.counts + hit.astype(state.counts.dtype)
+        new_count = jnp.sum(jnp.where(hit, counts, 0))
         bonus = 1.0 / jnp.sqrt(new_count.astype(jnp.float32))
         return (BonusState(inner=inner, counts=counts), reward + bonus,
                 terminated, truncated)
@@ -194,12 +202,14 @@ class FullyObsWrapper(ObservationWrapper):
     (wrappers.py:219-255)."""
 
     def transform(self, obs, state, params):
+        from minigrid_tpu.core import grid_ops as G
+
         agent = jnp.stack(
             [jnp.asarray(C.OBJECT_TO_IDX["agent"], jnp.uint8),
              jnp.asarray(C.COLOR_TO_IDX["red"], jnp.uint8),
              state.agent_dir.astype(jnp.uint8)]
         )
-        full = state.grid.at[state.agent_pos[0], state.agent_pos[1]].set(agent)
+        full = G.put(state.grid, state.agent_pos[0], state.agent_pos[1], agent)
         return {**obs, "image": full}
 
 
@@ -213,9 +223,8 @@ class SymbolicObsWrapper(ObservationWrapper):
         ys = jax.lax.broadcasted_iota(jnp.int32, (w, h), 1)
         t = state.grid[..., 0].astype(jnp.int32)
         t = jnp.where(t == C.OBJECT_TO_IDX["empty"], -1, t)
-        t = t.at[state.agent_pos[0], state.agent_pos[1]].set(
-            C.OBJECT_TO_IDX["agent"]
-        )
+        t = jnp.where((xs == state.agent_pos[0]) & (ys == state.agent_pos[1]),
+                      C.OBJECT_TO_IDX["agent"], t)
         return {**obs, "image": jnp.stack([xs, ys, t], axis=-1)}
 
 
@@ -430,12 +439,14 @@ class NoLanguageWrapper(ObservationWrapper):
     EasyModeWrapper, same recovery here)."""
 
     def transform(self, obs, state, params):
+        from minigrid_tpu.core import grid_ops as G
+
         agent = jnp.stack(
             [jnp.asarray(C.OBJECT_TO_IDX["agent"], jnp.uint8),
              jnp.asarray(C.COLOR_TO_IDX["red"], jnp.uint8),
              state.agent_dir.astype(jnp.uint8)]
         )
-        full = state.grid.at[state.agent_pos[0], state.agent_pos[1]].set(agent)
+        full = G.put(state.grid, state.agent_pos[0], state.agent_pos[1], agent)
         target = _goal_cell(state, params)
         dir_one_hot = jax.nn.one_hot(state.agent_dir, 4, dtype=jnp.float32)
         robot = jnp.concatenate(
