@@ -108,3 +108,48 @@ def test_gen_docs_builds_pages():
     assert len(pages) > 50
     assert "MiniGrid-DoorKey-8x8-v0" in pages["DoorKeyEnv"]
     assert "## Action space" in pages["EmptyEnv"]
+
+
+def test_manual_control_with_fake_window():
+    """ManualControl driven by fake keyboard events against a mock window —
+    the reference's only mocked test (ref tests/test_scripts.py:35-73)."""
+    import minigrid_tpu
+    from minigrid_tpu.tools.manual_control import ManualControl
+
+    class FakeEvent:
+        def __init__(self, key):
+            self.key = key
+
+    class FakeWindow:
+        def __init__(self):
+            self.images = []
+            self.captions = []
+            self.closed = False
+            self.handler = None
+
+        def reg_key_handler(self, h):
+            self.handler = h
+
+        def show_img(self, img):
+            self.images.append(np.asarray(img))
+
+        def set_caption(self, text):
+            self.captions.append(text)
+
+        def show(self, block=True):
+            pass
+
+        def close(self):
+            self.closed = True
+
+    env = minigrid_tpu.make("MiniGrid-Empty-5x5-v0")
+    win = FakeWindow()
+    mc = ManualControl(env, seed=3, window=win)
+    mc.reset()
+    assert win.images and win.images[-1].shape == (160, 160, 3)
+    for key in ["up", "up", "right", "up", "left", " ", "backspace"]:
+        win.handler(FakeEvent(key))
+    assert len(win.images) > 3
+    assert win.captions and isinstance(win.captions[-1], str)
+    win.handler(FakeEvent("escape"))
+    assert win.closed
