@@ -97,6 +97,9 @@ class BabyAILevel(RoomGridEnv):
 
     name = "BabyAILevel"
     max_gen_attempts: int = 8
+    # Missions come from a recursive grammar -> gym adapter declares an
+    # accept-all BabyAIMissionSpace (reference roomgrid_level.py:26-42).
+    grammar_missions = True
 
     def __init__(self, room_size: int = 8, num_rows: int = 3, num_cols: int = 3,
                  max_steps: int | None = None, **kwargs):
@@ -313,6 +316,19 @@ class BabyAILevel(RoomGridEnv):
     # ------------------------------------------------------------------ #
     # mission surface
     # ------------------------------------------------------------------ #
+
+    def mission_codes(self):
+        """One representative 43-int mission code ("go to the red ball").
+
+        The BabyAI instruction space is a grammar, not an enumerable
+        template×placeholder product; the reference's BabyAIMissionSpace
+        likewise surfaces a representative sample and accepts every string
+        (roomgrid_level.py:26-42 ``contains() -> True``)."""
+        code = np.zeros((1, 43), np.int32)
+        code[0, 3] = V.K_GOTO
+        code[0, 7] = V.OBJ_TYPES.index("ball") + 1  # d1[0].type
+        code[0, 8] = C.COLOR_TO_IDX["red"]  # d1[0].color
+        return code
 
     def mission_text(self, mission) -> str:
         instr, articles = unflatten_instr(np.asarray(mission))

@@ -16,12 +16,14 @@ parity with numpy lives in the host-side parity generators instead).
 from __future__ import annotations
 
 import jax
+import numpy as np
+
 import jax.numpy as jnp
 
 from minigrid_tpu.core import constants as C
 
-_EMPTY = jnp.asarray(C.EMPTY_TRIPLE)
-_WALL = jnp.asarray(C.WALL_TRIPLE)
+_EMPTY = np.asarray(C.EMPTY_TRIPLE)
+_WALL = np.asarray(C.WALL_TRIPLE)
 _EMPTY_T = C.OBJECT_TO_IDX["empty"]
 
 

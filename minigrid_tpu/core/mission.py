@@ -141,3 +141,25 @@ class MissionSpace(_BASE):
         if other.ordered_placeholders is None:
             return self.mission_func() == other.mission_func()
         return False
+
+
+class BabyAIMissionSpace(MissionSpace):
+    """Mission space for grammar-generated instructions.
+
+    The BabyAI language is a recursive grammar, not an enumerable
+    template×placeholder product, so — exactly like the reference's
+    ``BabyAIMissionSpace`` (envs/babyai/core/roomgrid_level.py:26-42) —
+    ``contains`` accepts every string and ``sample`` surfaces one
+    representative instruction."""
+
+    def __init__(self, mission_func=None):
+        if mission_func is None:
+            mission_func = _go_to_the_red_ball
+        super().__init__(mission_func=mission_func)
+
+    def contains(self, x) -> bool:
+        return isinstance(x, str)
+
+
+def _go_to_the_red_ball() -> str:
+    return "go to the red ball"

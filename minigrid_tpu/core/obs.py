@@ -16,6 +16,8 @@ vmaps over the env batch and fuses under jit.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 from minigrid_tpu.core import constants as C
@@ -23,8 +25,8 @@ from minigrid_tpu.core.state import EnvParams, EnvState
 from minigrid_tpu.core.step import _table_ranges, dir_to_vec, in_table
 
 _SEE_BEHIND_RANGES = _table_ranges(C.SEE_BEHIND)
-_WALL = jnp.asarray(C.WALL_TRIPLE)
-_EMPTY = jnp.asarray(C.EMPTY_TRIPLE)
+_WALL = np.asarray(C.WALL_TRIPLE)
+_EMPTY = np.asarray(C.EMPTY_TRIPLE)
 _DOOR = C.OBJECT_TO_IDX["door"]
 _EMPTY_T = C.OBJECT_TO_IDX["empty"]
 

@@ -370,7 +370,7 @@ class RoomGridEnv(Env):
             ex_rank = jnp.argmax(SORTED_COLOR_IDS == ex)
             r = jax.random.randint(k_col, (n_walls,), 0,
                                    jnp.where(active, 9, 10))
-            colors = SORTED_COLOR_IDS[jnp.where(active, r + (r >= ex_rank), r)]
+            colors = jnp.asarray(SORTED_COLOR_IDS)[jnp.where(active, r + (r >= ex_rank), r)]
 
         grid = b["grid"]
         closed = jnp.asarray(C.STATE_TO_IDX["closed"], jnp.int32)
@@ -416,7 +416,7 @@ class RoomGridEnv(Env):
             else:
                 combo = jax.random.randint(k_tc, (), 0, 30)
             kind_local = combo // 10
-            color = SORTED_COLOR_IDS[combo % 10]
+            color = jnp.asarray(SORTED_COLOR_IDS)[combo % 10]
             write_color = color if color_override is None else jnp.asarray(
                 color_override, jnp.int32)
             ri = jax.random.randint(k_i, (), 0, self.num_cols) if i is None else i
@@ -449,7 +449,7 @@ class RoomGridEnv(Env):
             combos = jax.random.randint(k_combo, (num,), 0, 30)
             combo_ok = jnp.ones((num,), bool)
         kind_local = combos // 10
-        color = SORTED_COLOR_IDS[combos % 10]
+        color = jnp.asarray(SORTED_COLOR_IDS)[combos % 10]
         write_color = color if color_override is None else jnp.full(
             (num,), jnp.asarray(color_override, jnp.int32))
 

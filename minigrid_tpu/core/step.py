@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from enum import IntEnum
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -26,7 +28,7 @@ from flax import struct
 from minigrid_tpu.core import constants as C
 from minigrid_tpu.core.state import EnvParams, EnvState
 
-_EMPTY = jnp.asarray(C.EMPTY_TRIPLE)  # uint8[3]
+_EMPTY = np.asarray(C.EMPTY_TRIPLE)  # uint8[3]
 
 
 def _table_ranges(table) -> list[tuple[int, int]]:

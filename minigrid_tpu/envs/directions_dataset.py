@@ -55,6 +55,10 @@ DIRECTIONS_IDX_TO_STR = ["east", "south", "west", "north"]
 
 class DirectionsDataset(Env):
     name = "DirectionsDataset"
+    # Missions come from a template grammar (negation/verb-sequence
+    # composition), not an enumerable placeholder product -> accept-all
+    # mission space in the gym adapter.
+    grammar_missions = True
     num_actions = 4
 
     def __init__(self, size: int = 3, max_actions: int = 2,

@@ -21,6 +21,8 @@ moves unroll statically (n is a small static constant).
 from __future__ import annotations
 
 import jax
+import numpy as np
+
 import jax.numpy as jnp
 
 from minigrid_tpu.core import constants as C
@@ -29,7 +31,7 @@ from minigrid_tpu.core.env import Env
 from minigrid_tpu.core.state import EnvParams, EnvState, base_state, empty_grid
 from minigrid_tpu.core.step import dir_to_vec
 
-_BALL = jnp.asarray([C.OBJECT_TO_IDX["ball"], C.COLOR_TO_IDX["blue"], 0],
+_BALL = np.asarray([C.OBJECT_TO_IDX["ball"], C.COLOR_TO_IDX["blue"], 0],
                     dtype=jnp.uint8)
 _GOAL_T = C.OBJECT_TO_IDX["goal"]
 _EMPTY_T = C.OBJECT_TO_IDX["empty"]

@@ -7,6 +7,8 @@ templates; picking up anything terminates, reward only for the target.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -18,7 +20,7 @@ from minigrid_tpu.core.state import EnvParams, EnvState, base_state, empty_grid
 from minigrid_tpu.core.step import StepOutcome
 
 _SYNTAX = ["get a", "go get a", "fetch a", "go fetch a", "you must fetch a"]
-_TYPE_IDS = jnp.asarray(
+_TYPE_IDS = np.asarray(
     [C.OBJECT_TO_IDX["key"], C.OBJECT_TO_IDX["ball"]], dtype=jnp.int32
 )
 _EMPTY_T = C.OBJECT_TO_IDX["empty"]

@@ -55,7 +55,7 @@ class GoToDoorEnv(Env):
         ])  # (4, 2)
 
         # Four distinct colors (gotodoor.py:108-113 rejection == permutation).
-        colors = SORTED_COLOR_IDS[jax.random.permutation(keys[6], 10)[:4]]
+        colors = jnp.asarray(SORTED_COLOR_IDS)[jax.random.permutation(keys[6], 10)[:4]]
         for i in range(4):
             grid = G.put(
                 grid, door_pos[i, 0], door_pos[i, 1],

@@ -7,6 +7,8 @@ the 8-neighborhood of the target pays; `toggle` terminates.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -17,7 +19,7 @@ from minigrid_tpu.core.sampling import distinct_type_colors
 from minigrid_tpu.core.state import EnvParams, EnvState, base_state, empty_grid
 from minigrid_tpu.core.step import DONE, TOGGLE
 
-_TYPE_IDS = jnp.asarray(
+_TYPE_IDS = np.asarray(
     [C.OBJECT_TO_IDX["key"], C.OBJECT_TO_IDX["ball"], C.OBJECT_TO_IDX["box"]],
     dtype=jnp.int32,
 )

@@ -73,7 +73,7 @@ class LockedRoomEnv(Env):
 
         # Six distinct door colors (lockedroom.py:143-152: draw-and-remove
         # from the sorted color set == permutation prefix).
-        colors = SORTED_COLOR_IDS[jax.random.permutation(keys[3], 10)[:6]]
+        colors = jnp.asarray(SORTED_COLOR_IDS)[jax.random.permutation(keys[3], 10)[:6]]
         for r in range(6):
             state = jnp.where(locked == r, C.STATE_TO_IDX["locked"],
                               C.STATE_TO_IDX["closed"])

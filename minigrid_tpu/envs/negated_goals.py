@@ -47,6 +47,10 @@ _EMPTY_T = C.OBJECT_TO_IDX["empty"]
 
 class NegatedEnv(Env):
     name = "NegatedEnv"
+    # Missions come from a template grammar (negation/verb-sequence
+    # composition), not an enumerable placeholder product -> accept-all
+    # mission space in the gym adapter.
+    grammar_missions = True
 
     def __init__(self, size: int = 6, agent_start_pos=(1, 1),
                  agent_start_dir: int = 0, num_distractors: int = 1,

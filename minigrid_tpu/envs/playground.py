@@ -6,6 +6,8 @@ TPU-native re-derivation of ``minigrid/envs/playground.py:10-91``.
 from __future__ import annotations
 
 import jax
+import numpy as np
+
 import jax.numpy as jnp
 
 from minigrid_tpu.core import constants as C
@@ -15,7 +17,7 @@ from minigrid_tpu.core.sampling import rand_color, rand_type_color
 from minigrid_tpu.core.state import EnvParams, EnvState, base_state, empty_grid
 
 _DOOR = C.OBJECT_TO_IDX["door"]
-_TYPE_IDS = jnp.asarray(
+_TYPE_IDS = np.asarray(
     [C.OBJECT_TO_IDX["key"], C.OBJECT_TO_IDX["ball"], C.OBJECT_TO_IDX["box"]],
     dtype=jnp.int32,
 )

@@ -9,6 +9,8 @@ only if the drop succeeded within the target's 8-neighborhood.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -19,7 +21,7 @@ from minigrid_tpu.core.sampling import distinct_type_colors
 from minigrid_tpu.core.state import EnvParams, EnvState, base_state, empty_grid
 from minigrid_tpu.core.step import DROP, PICKUP, StepOutcome
 
-_TYPE_IDS = jnp.asarray(
+_TYPE_IDS = np.asarray(
     [C.OBJECT_TO_IDX["key"], C.OBJECT_TO_IDX["ball"], C.OBJECT_TO_IDX["box"]],
     dtype=jnp.int32,
 )

@@ -23,6 +23,7 @@ conformance testing — large-scale training should use the functional
 
 from __future__ import annotations
 
+import weakref
 from typing import Any
 
 import numpy as np
@@ -35,7 +36,7 @@ from gymnasium import spaces
 
 from minigrid_tpu.core import constants as C
 from minigrid_tpu.core.env import Env
-from minigrid_tpu.core.mission import MissionSpace
+from minigrid_tpu.core.mission import BabyAIMissionSpace, MissionSpace
 from minigrid_tpu.registry import make as make_functional
 from minigrid_tpu.registry import registered_ids
 
@@ -59,20 +60,29 @@ class GymEnv(gym.Env):
         self._key = jax.random.PRNGKey(0)
         self._window = None
 
-        fenv, params = self.fenv, self.params
-        self._jit_reset = jax.jit(lambda k: fenv.reset(k, params))
-        self._jit_step = jax.jit(lambda s, a: fenv.step(s, a, params))
+        self._jit_reset, self._jit_step = _jitted_kernels(self.fenv, self.params)
 
         self._build_spaces()
         self.reward_range = (0.0, 1.0)
 
     def _build_spaces(self) -> None:
         v = self.params.agent_view_size
+        # Grammar-mission envs (BabyAI) declare an accept-all space, exactly
+        # like the reference's BabyAIMissionSpace (roomgrid_level.py:26-42);
+        # template envs enumerate their mission strings from mission_codes()
+        # (the template×placeholder product the reference declares with
+        # ordered_placeholders, mission.py:28-77).
+        if getattr(self.fenv, "grammar_missions", False):
+            mission_space = BabyAIMissionSpace(
+                mission_func=_FixedMission(self.fenv)
+            )
+        else:
+            mission_space = _EnumMissionSpace(self.fenv)
         self.observation_space = spaces.Dict(
             {
                 "image": spaces.Box(0, 255, (v, v, 3), dtype=np.uint8),
                 "direction": spaces.Discrete(4),
-                "mission": MissionSpace(mission_func=_FixedMission(self.fenv)),
+                "mission": mission_space,
             }
         )
         self.action_space = spaces.Discrete(self.fenv.num_actions)
@@ -123,7 +133,13 @@ class GymEnv(gym.Env):
 
     # -- helpers ---------------------------------------------------------------
     def _host_obs(self, obs: dict) -> dict:
-        out = {k: np.asarray(v) for k, v in obs.items() if k != "mission"}
+        # 0-d leaves (direction) surface as np.int64 — what Discrete spaces
+        # contain; arrays stay ndarray.
+        out = {
+            k: (np.int64(v) if np.ndim(v) == 0 else np.asarray(v))
+            for k, v in obs.items()
+            if k != "mission"
+        }
         out["mission"] = self.fenv.mission_text(np.asarray(obs["mission"]))
         return out
 
@@ -264,10 +280,67 @@ class GymEnv(gym.Env):
     def __setstate__(self, d):
         self.__dict__.update(d)
         self._window = None
-        fenv, params = self.fenv, self.params
-        self._jit_reset = jax.jit(lambda k: fenv.reset(k, params))
-        self._jit_step = jax.jit(lambda s, a: fenv.step(s, a, params))
+        self._jit_reset, self._jit_step = _jitted_kernels(self.fenv, self.params)
         self._build_spaces()
+
+
+_JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _jitted_kernels(fenv: Env, params):
+    """Jitted (reset, step) pair, cached per functional env instance so every
+    adapter over the same (singleton, see registry.make) env shares one
+    compile.  Kept outside the instance so envs stay picklable."""
+    cache = _JIT_CACHE.get(fenv)
+    if cache is not None:
+        try:
+            if cache[0] is params or bool(cache[0] == params):
+                return cache[1], cache[2]
+        except Exception:
+            pass
+    jit_reset = jax.jit(lambda k: fenv.reset(k, params))
+    jit_step = jax.jit(lambda s, a: fenv.step(s, a, params))
+    try:
+        _JIT_CACHE[fenv] = (params, jit_reset, jit_step)
+    except TypeError:
+        pass  # unweakrefable env type: skip caching
+    return jit_reset, jit_step
+
+
+class _EnumMissionSpace(MissionSpace):
+    """Mission space enumerated from ``Env.mission_codes``.
+
+    ``contains`` accepts exactly the strings the env can emit and ``sample``
+    draws uniformly over them — behaviourally equivalent to the reference's
+    template×placeholder MissionSpace declaration for the same env."""
+
+    def __init__(self, fenv: Env):
+        self._strings = list(
+            dict.fromkeys(
+                fenv.mission_text(np.asarray(c)) for c in fenv.mission_codes()
+            )
+        )
+        super().__init__(mission_func=_ConstMission(self._strings[0]))
+
+    def sample(self) -> str:
+        return self._strings[int(self.np_random.integers(len(self._strings)))]
+
+    def contains(self, x) -> bool:
+        return isinstance(x, str) and x in self._strings
+
+
+class _ConstMission:
+    """Picklable zero-arg mission function returning a fixed string."""
+
+    def __init__(self, s: str):
+        self.s = s
+
+    @property
+    def __code__(self):
+        return (lambda: None).__code__
+
+    def __call__(self) -> str:
+        return self.s
 
 
 class _FixedMission:
@@ -286,7 +359,7 @@ class _FixedMission:
         return (lambda: None).__code__
 
     def __call__(self) -> str:
-        return self.fenv.mission_text(np.zeros(4, np.int32))
+        return self.fenv.mission_text(np.asarray(self.fenv.mission_codes()[0]))
 
 
 _REGISTERED = False
@@ -313,8 +386,16 @@ def register_gym_envs(force: bool = False) -> int:
     return count
 
 
-def _make_entry(env_id: str):
-    def entry(render_mode: str | None = None, **kwargs: Any) -> GymEnv:
-        return GymEnv(env_id, render_mode=render_mode, **kwargs)
+class _Entry:
+    """Picklable entry point for one registered id (env.spec must survive
+    pickling of made envs — reference test_envs.py:168-183)."""
 
-    return entry
+    def __init__(self, env_id: str):
+        self.env_id = env_id
+
+    def __call__(self, render_mode: str | None = None, **kwargs: Any) -> GymEnv:
+        return GymEnv(self.env_id, render_mode=render_mode, **kwargs)
+
+
+def _make_entry(env_id: str) -> _Entry:
+    return _Entry(env_id)

@@ -24,6 +24,8 @@ already single-process, and ``pod_mesh`` builds the mesh over local devices
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 import jax
@@ -41,16 +43,39 @@ def initialize(coordinator_address: str | None = None,
     No-ops (returns False) when the run is single-process and no
     coordinator is given.
     """
-    if jax.process_count() > 1:
-        return True
+    # Probe the distributed runtime WITHOUT touching the XLA backend:
+    # jax.process_count() / jax.default_backend() would initialize the
+    # backend, after which jax.distributed.initialize() refuses to run.
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     if coordinator_address is None and num_processes is None:
         try:
-            if jax.default_backend() == "tpu":
-                jax.distributed.initialize()
-                return jax.process_count() > 1
-        except Exception:
+            jax.distributed.initialize()  # TPU-pod/SLURM/etc. autodetect
+        except ValueError:
+            # No coordinator given and no cluster environment detected: a
+            # plain single-process run.  The only benign failure.
             return False
-        return False
+        except RuntimeError as e:
+            msg = str(e).lower()
+            if "already" in msg and "before" not in msg:
+                return jax.process_count() > 1
+            if "before any jax calls" in msg:
+                # The XLA backend was touched before initialize(); topology
+                # autodetect is no longer possible.  Warn loudly (instead of
+                # silently degrading a pod to N identical single-process
+                # replicas with the same PRNG key) and continue
+                # single-process — call initialize() first on real pods.
+                warnings.warn(
+                    "multihost.initialize(): called after the XLA backend "
+                    f"was initialized; running single-process. ({e})",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                return False
+            # Anything else (transient pod coordinator failure, ...) must
+            # fail loudly.
+            raise
+        return jax.process_count() > 1
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -33,17 +33,29 @@ def register(id: str, cls: Type[Env], **kwargs: Any) -> None:
     _REGISTRY[id] = EnvSpec(id=id, cls=cls, kwargs=dict(kwargs))
 
 
+_INSTANCES: dict[str, Env] = {}
+
+
 def make(id: str, **overrides: Any) -> Env:
-    """Instantiate a registered env preset (the gym.make analogue)."""
+    """Instantiate a registered env preset (the gym.make analogue).
+
+    Envs are stateless pure-function bundles, so the no-override path
+    returns a cached singleton per id — repeat ``make`` calls (and the jit
+    caches keyed on the instance's bound methods) are shared."""
     if id not in _REGISTRY:
         raise KeyError(
             f"Unknown env id {id!r}. Known ids: {sorted(_REGISTRY)[:10]}... "
             f"({len(_REGISTRY)} total)"
         )
+    if not overrides and id in _INSTANCES:
+        return _INSTANCES[id]
     spec = _REGISTRY[id]
     kwargs = dict(spec.kwargs)
     kwargs.update(overrides)
-    return spec.cls(**kwargs)
+    env = spec.cls(**kwargs)
+    if not overrides:
+        _INSTANCES[id] = env
+    return env
 
 
 def registered_ids() -> list[str]:

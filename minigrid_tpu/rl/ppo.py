@@ -48,6 +48,9 @@ class PPOConfig:
     ent_coef: float = struct.field(pytree_node=False, default=0.01)
     vf_coef: float = struct.field(pytree_node=False, default=0.5)
     max_grad_norm: float = struct.field(pytree_node=False, default=0.5)
+    # Bootstrap truncated-but-not-terminated steps from V(final pre-reset
+    # obs) rather than zero.  Costs one extra network apply per rollout step.
+    bootstrap_truncated: bool = struct.field(pytree_node=False, default=True)
 
 
 @struct.dataclass
@@ -99,24 +102,39 @@ def compute_gae(
     last_value: jnp.ndarray,  # float32[B]
     gamma: float,
     lam: float,
+    truncated: jnp.ndarray | None = None,  # bool[T, B] — truncated, NOT terminated
+    trunc_values: jnp.ndarray | None = None,  # float32[T, B] — V(final pre-reset obs)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Generalized advantage estimation as a reverse lax.scan.
 
     Returns (advantages[T, B], targets[T, B]) with targets = adv + values.
+
+    When ``truncated``/``trunc_values`` are given, a step that hit the time
+    limit without truly terminating bootstraps from the value of the final
+    (pre-auto-reset) observation instead of zero — time-limit truncation is
+    not a true terminal, and zeroing the bootstrap biases value targets low
+    near the step cap.  Without them, every done is treated as terminal
+    (the common, slightly biased approximation).
     """
+    if truncated is None:
+        truncated = jnp.zeros_like(dones)
+        trunc_values = jnp.zeros_like(values)
 
     def body(carry, xs):
         gae, next_value = carry
-        reward, value, done = xs
+        reward, value, done, trunc, tval = xs
         nonterminal = 1.0 - done.astype(jnp.float32)
-        delta = reward + gamma * next_value * nonterminal - value
+        # Episode boundary always cuts the GAE recursion, but the one-step
+        # bootstrap survives a pure truncation via V(final_obs).
+        next_v = jnp.where(trunc, tval, next_value * nonterminal)
+        delta = reward + gamma * next_v - value
         gae = delta + gamma * lam * nonterminal * gae
         return (gae, value), gae
 
     (_, _), advantages = jax.lax.scan(
         body,
         (jnp.zeros_like(last_value), last_value),
-        (rewards, values, dones),
+        (rewards, values, dones, truncated, trunc_values),
         reverse=True,
     )
     return advantages, advantages + values
@@ -216,7 +234,12 @@ class PPO:
         self.config = config or PPOConfig()
         self.mesh = mesh
         self.network = network or ActorCritic(num_actions=env.num_actions)
-        self.venv = VectorEnv(env, self.config.num_envs, self.env_params)
+        self.venv = VectorEnv(
+            env,
+            self.config.num_envs,
+            self.env_params,
+            final_obs=self.config.bootstrap_truncated,
+        )
 
         if mesh is not None:
             assert "dp" in mesh.axis_names, "mesh must have a 'dp' axis"
@@ -292,7 +315,7 @@ class PPO:
             log_prob = jnp.take_along_axis(
                 jax.nn.log_softmax(logits), action[:, None], axis=-1
             ).squeeze(-1)
-            new_obs, new_env_state, reward, term, trunc, _ = self.venv._step(
+            new_obs, new_env_state, reward, term, trunc, info = self.venv._step(
                 env_state, action
             )
             new_env_state = constrain_batch(new_env_state)
@@ -307,6 +330,15 @@ class PPO:
                 "reward": reward,
                 "done": done,
             }
+            if cfg.bootstrap_truncated:
+                # V(final pre-reset obs) for the time-limit bootstrap; a
+                # terminated step keeps the zero bootstrap (term dominates
+                # if both flags fire on the same step).
+                _, final_value = train_state.apply_fn(
+                    train_state.params, info["final_obs"]
+                )
+                transition["truncated"] = trunc & ~term
+                transition["trunc_value"] = final_value
             return (train_state, new_env_state, new_obs, key,
                     stats), transition
 
@@ -325,6 +357,8 @@ class PPO:
             last_value,
             cfg.gamma,
             cfg.gae_lambda,
+            truncated=traj.get("truncated"),
+            trunc_values=traj.get("trunc_value"),
         )
 
         # ---- flatten [T, B] -> [T*B] and run epochs × minibatches -----------

@@ -146,6 +146,11 @@ class RecurrentPPO:
 
         _, (_, last_value) = train_state.apply_fn(
             train_state.params, carry, obs, prev_done)
+        # NOTE: truncated steps are treated as terminal here (zero bootstrap).
+        # The exact fix used by the feed-forward PPO (bootstrap from
+        # V(final pre-reset obs)) would need the post-observation recurrent
+        # carry for the finished episode, which the fused rollout does not
+        # keep; the bias is small for the gammas used with these tasks.
         advantages, targets = compute_gae(
             traj["reward"], traj["value"], traj["done"], last_value,
             cfg.gamma, cfg.gae_lambda)
