@@ -79,6 +79,17 @@ class DynamicObstaclesEnv(Env):
         extra = jnp.stack(positions) if positions else jnp.zeros((0, 2), jnp.int32)
         return base_state(grid, agent_pos, agent_dir, rng=keys[-1], extra=extra, has_boxes=False)
 
+    def propose_move(self, i, key, grid, old, agent_pos, xs, ys):
+        """One obstacle's proposed new cell: uniform over the empty cells of
+        its 3x3 neighborhood (the reference's bounded place_obj retry,
+        dynamicobstacles.py:146-156, as one masked draw).  Overridable — the
+        lockstep parity test injects the reference's actual motion stream
+        here to verify the transition semantics independently of the RNG."""
+        window = (jnp.abs(xs - old[0]) <= 1) & (jnp.abs(ys - old[1]) <= 1)
+        mask = G.is_empty(grid) & window
+        mask &= ~((xs == agent_pos[0]) & (ys == agent_pos[1]))
+        return G.sample_cell(jax.random.fold_in(key, i), mask)
+
     def step_state(self, state: EnvState, action, params: EnvParams):
         action = jnp.asarray(action, dtype=jnp.int32)
         action = jnp.where(action >= 3, 0, action)  # clamp to turn/move
@@ -98,10 +109,8 @@ class DynamicObstaclesEnv(Env):
         xs, ys = G.coords(params.width, params.height)
         for i in range(self.n_obstacles):
             old = positions[i]
-            window = (jnp.abs(xs - old[0]) <= 1) & (jnp.abs(ys - old[1]) <= 1)
-            mask = G.is_empty(grid) & window
-            mask &= ~((xs == state.agent_pos[0]) & (ys == state.agent_pos[1]))
-            pos, ok = G.sample_cell(jax.random.fold_in(key, i), mask)
+            pos, ok = self.propose_move(i, key, grid, old, state.agent_pos,
+                                        xs, ys)
             new_pos = jnp.where(ok, pos, old)
             grid = G.put_if(grid, old[0], old[1], C.EMPTY_TRIPLE, ok)
             grid = G.put(grid, new_pos[0], new_pos[1], _BALL)

@@ -192,7 +192,7 @@ class MultiRoomEnv(Env):
                              i9 + (i9 >= prev_color_rank))
             active = r < count
             door = jnp.stack([jnp.asarray(_DOOR, jnp.int32),
-                              SORTED_COLOR_IDS[rank],
+                              jnp.asarray(SORTED_COLOR_IDS)[rank],
                               jnp.asarray(C.STATE_TO_IDX["closed"], jnp.int32)
                               ]).astype(jnp.uint8)
             pos = entries[r]

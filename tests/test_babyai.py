@@ -167,27 +167,61 @@ def test_putnext_scripted():
 
 
 def test_goto_stale_position_quirk():
-    """Reference quirk: a picked-up tracked object keeps satisfying GoTo at
-    its vacated cell until the next drop action (roomgrid_level.py:89-91)."""
-    env = minigrid_tpu.make("BabyAI-GoToRedBall-v0")
+    """Reference quirk (roomgrid_level.py:89-91): object positions visible to
+    the verifier refresh only on DROP, so a picked-up object keeps
+    satisfying GoTo at its *vacated* cell.
+
+    Observable via a BEFORE sequence "pick up the red ball, then go to the
+    red ball": on the pickup step, clause A succeeds and BeforeInstr
+    immediately verifies clause B on the same action
+    (verifier.py:474-480) — which succeeds ONLY because the ball's tracked
+    position is stale (the front cell is empty; no red ball remains on the
+    grid).  An implementation without stale tracking can never finish this
+    instruction."""
+    from minigrid_tpu.babyai.level import flatten_instr
+
+    env = minigrid_tpu.make("BabyAI-GoToRedBallNoDists-v0")
     params = env.default_params
     _, state = env.reset(jax.random.PRNGKey(0), params)
     g = np.asarray(state.grid)
     target = np.argwhere((g[..., 0] == T["ball"])
                          & (g[..., 1] == C.COLOR_TO_IDX["red"]))[0]
+
+    # Override the episode's instruction: BEFORE(Pickup(red ball),
+    # GoTo(red ball)).
+    ball = V.OBJ_TYPES.index("ball") + 1
+    red = C.COLOR_TO_IDX["red"]
+    instr = V.seq_instr(
+        V.S_BEFORE,
+        V.single_clause(V.K_PICKUP, V.desc(ball, red)),
+        V.single_clause(V.K_GOTO, V.desc(ball, red)),
+    )
+    room_mask = env.agent_room_mask({"agent_pos": state.agent_pos}, params)
+    vs = V.init_verifier_state(state.grid, instr, state.agent_pos,
+                               state.agent_dir, room_mask)
+    state = state.replace(
+        extra={"instr": instr, "vs": vs},
+        mission=flatten_instr(instr, jnp.zeros(8, jnp.int32)),
+    )
+
     acts = nav_actions(g, np.asarray(state.agent_pos), int(state.agent_dir),
                        target)
-    # approach but don't trigger: pick it up instead, then face the cell again
+    assert acts is not None
     step = jax.jit(lambda s, a: env.step(s, a, params))
-    for a in acts[:-1]:
+    for a in acts:
         _, state, r, te, tr, _ = step(state, jnp.int32(a))
-        if bool(te):
-            pytest.skip("path crossed the target's face-line early")
-    # Last action would face it; instead pickup happens facing it already?
-    # Execute the final approach action: this faces the ball -> success fires
-    # immediately for GoTo, so this test only checks pickup didn't crash.
-    _, state, r, te, tr, _ = step(state, jnp.int32(acts[-1]))
-    assert bool(te) and float(r) > 0
+        # facing the ball does NOT succeed: clause A (pickup) is incomplete
+        assert not bool(te) and not bool(tr)
+    # Pickup: A completes; B (GoTo) succeeds the same step purely via the
+    # stale position of the now-carried ball.
+    _, state, r, te, tr, _ = step(state, jnp.int32(PICKUP))
+    assert bool(te) and float(r) > 0, (float(r), bool(te))
+    # Sanity: pickup removed the only red ball from the grid, so clause B's
+    # success can only have come from the stale tracked position.
+    g_end = np.asarray(state.grid)
+    assert ((g_end[..., 0] == T["ball"])
+            & (g_end[..., 1] == C.COLOR_TO_IDX["red"])).sum() == 0
+    assert int(state.carrying[0]) == T["ball"]
 
 
 @requires_reference

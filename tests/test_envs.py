@@ -71,18 +71,31 @@ def test_crossing_always_solvable(eid):
 
 
 def test_crossing_river_count():
+    """Exact structural check of the carved rivers (crossing.py:139-178):
+    every river line carries exactly size-3 lava cells (size-2 minus its one
+    carved opening), rivers sit on even interior lines, there are exactly
+    num_crossings of them, and the total equals
+    nv*(size-3) + nh*(size-3) - nv*nh (intersections shared)."""
+    size, n = 9, 3
     env = minigrid_tpu.make("MiniGrid-LavaCrossingS9N3-v0")
     params = env.default_params
     for seed in range(10):
         _, state = env.reset(jax.random.PRNGKey(seed), params)
         g = np.asarray(state.grid)
         lava = g[..., 0] == T["lava"]
-        # 3 rivers of length 7, minus 3 carved openings (openings may land on
-        # crossings shared by two rivers, so count is an upper bound check).
-        assert 0 < lava.sum() <= 3 * 7
-        # rivers only on even interior lines
+        candidates = range(2, size - 2, 2)
+        river_cols = [x for x in candidates
+                      if lava[x, 1:size - 1].sum() == size - 3]
+        river_rows = [y for y in candidates
+                      if lava[1:size - 1, y].sum() == size - 3]
+        nv, nh = len(river_cols), len(river_rows)
+        assert nv + nh == n, f"seed {seed}: {nv}+{nh} rivers"
+        expected = nv * (size - 3) + nh * (size - 3) - nv * nh
+        assert lava.sum() == expected, f"seed {seed}"
+        # every lava cell lies on an identified river line
         xs, ys = np.nonzero(lava)
-        assert all((x % 2 == 0) or (y % 2 == 0) for x, y in zip(xs, ys))
+        assert all(x in river_cols or y in river_rows
+                   for x, y in zip(xs, ys)), f"seed {seed}"
 
 
 def test_lavagap_solvable_and_shaped():

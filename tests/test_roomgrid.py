@@ -127,27 +127,36 @@ def test_obstructedmaze_full_structure():
 
 
 def test_unlock_solvable_scripted():
-    """Scripted solve of Unlock: BFS-navigate to key, pick, navigate to door,
-    toggle — asserts the reward/termination wiring end-to-end."""
-    from tests.test_envs import reachable  # noqa: F401 (env BFS helper)
+    """Scripted solve of Unlock: BFS-navigate to the key, pick it up,
+    BFS-navigate to the locked door, toggle — the episode must terminate
+    with the shaped success reward (unlock.py:89-97 wiring end-to-end)."""
+    from tests.test_babyai import nav_actions, drive, PICKUP, TOGGLE
+
     env = minigrid_tpu.make("MiniGrid-Unlock-v0")
     params = env.default_params
-    _, state = env.reset(jax.random.PRNGKey(4), params)
-    # brute-force a solution with random actions biased to make progress
-    rng = np.random.default_rng(0)
     step = jax.jit(lambda s, a: env.step(s, a, params))
-    solved = False
-    for t in range(params.max_steps):
-        a = int(rng.integers(0, 6))
-        _, state, r, te, tr, _ = step(state, jnp.int32(a))
-        if bool(te):
-            solved = float(r) > 0
-            break
-        if bool(tr):
-            break
-    # Random walk may or may not solve it; what must hold: no crash and
-    # reward is in range.
-    assert 0.0 <= float(r) <= 1.0
+    for seed in range(3):
+        _, state = env.reset(jax.random.PRNGKey(seed), params)
+        g = np.asarray(state.grid)
+        key_pos = np.argwhere(g[..., 0] == T["key"])[0]
+        door_pos = np.argwhere(g[..., 0] == T["door"])[0]
+
+        acts = nav_actions(g, np.asarray(state.agent_pos),
+                           int(state.agent_dir), key_pos)
+        assert acts is not None, f"seed {seed}: key unreachable"
+        state, r, te, tr = drive(env, state, params, acts + [PICKUP])
+        assert not te and not tr
+        assert int(state.carrying[0]) == T["key"]
+
+        g2 = np.asarray(state.grid)
+        acts2 = nav_actions(g2, np.asarray(state.agent_pos),
+                            int(state.agent_dir), door_pos)
+        assert acts2 is not None, f"seed {seed}: door unreachable"
+        state, r, te, tr = drive(env, state, params, acts2 + [TOGGLE])
+        assert te and not tr, f"seed {seed}: toggle did not terminate"
+        steps_used = len(acts) + len(acts2) + 2
+        expected = 1.0 - 0.9 * steps_used / params.max_steps
+        assert abs(r - expected) < 1e-5, (seed, r, expected)
 
 
 def test_multiroom_room_count():
