@@ -1,0 +1,280 @@
+"""Seed-exact generation parity mode (host-side numpy).
+
+The production reset path samples levels on-device with ``jax.random``;
+its layout *distributions* match the reference (tests/test_distributions.py)
+but individual seeds do not, because numpy Generator streams cannot be
+replayed on-device.  This module is the exact-parity half of the dual-mode
+design (SURVEY §7 hard-part #1): :func:`reset_exact` regenerates a level by
+replaying the reference's ``np_random`` call order — every ``_rand_int``,
+``shuffle`` and ``choice`` in the same sequence, including ``place_obj``'s
+sample-per-try rejection loop (minigrid_env.py:338-363) — so
+
+    obs, state = reset_exact(env, seed)
+
+yields the bit-identical initial observation and world state the reference
+produces for ``ref_env.reset(seed=seed)``, with no reference import and no
+state lowering.  From there the tensor ``step`` kernels carry the episode
+(transition parity is tested bitwise in tests/test_parity.py), giving full
+reset-through-trajectory seed parity.
+
+Supported families: Empty, DoorKey, LavaGap, FourRooms, Crossing (both
+obstacle types).  This is a host-side tool for parity/eval, not a hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from minigrid_tpu.core import constants as C
+from minigrid_tpu.core.state import EnvState, base_state
+
+_EMPTY = np.asarray(C.EMPTY_TRIPLE, np.uint8)
+_WALL = np.asarray(
+    [C.OBJECT_TO_IDX["wall"], C.COLOR_TO_IDX["grey"], 0], np.uint8
+)
+_GOAL = np.asarray(
+    [C.OBJECT_TO_IDX["goal"], C.COLOR_TO_IDX["green"], 0], np.uint8
+)
+_LAVA = np.asarray(
+    [C.OBJECT_TO_IDX["lava"], C.COLOR_TO_IDX["red"], 0], np.uint8
+)
+
+
+def _np_random(seed: int):
+    """The exact Generator the reference's gym.Env.reset(seed) builds."""
+    from gymnasium.utils import seeding
+
+    rng, _ = seeding.np_random(seed)
+    return rng
+
+
+class _HostGrid:
+    """Numpy mirror of the reference's mutable generation state: the encode
+    tensor plus agent pose, with the placement API consuming the same RNG
+    stream (minigrid_env.py:246-394)."""
+
+    def __init__(self, rng, width: int, height: int):
+        self.rng = rng
+        self.w, self.h = width, height
+        self.grid = np.broadcast_to(_EMPTY, (width, height, 3)).copy()
+        self.agent_pos = (-1, -1)
+        self.agent_dir = -1
+
+    # -- RNG helpers (minigrid_env.py:252-258) -----------------------------
+    def rand_int(self, lo: int, hi: int) -> int:
+        return int(self.rng.integers(lo, hi))
+
+    # -- wall builders (grid.py:80-108) ------------------------------------
+    def horz_wall(self, x, y, length=None, triple=_WALL):
+        length = self.w - x if length is None else length
+        self.grid[x:x + length, y] = triple
+
+    def vert_wall(self, x, y, length=None, triple=_WALL):
+        length = self.h - y if length is None else length
+        self.grid[x, y:y + length] = triple
+
+    def wall_rect(self, x, y, w, h):
+        self.horz_wall(x, y, w)
+        self.horz_wall(x, y + h - 1, w)
+        self.vert_wall(x, y, h)
+        self.vert_wall(x + w - 1, y, h)
+
+    def put(self, x, y, triple):
+        self.grid[x, y] = triple
+
+    def is_empty(self, x, y) -> bool:
+        return (self.grid[x, y] == _EMPTY).all()
+
+    # -- placement (minigrid_env.py:312-394) --------------------------------
+    def place_obj(self, triple, top=None, size=None, reject_fn=None) -> tuple:
+        """The reference rejection loop: samples TWO ints per try whether or
+        not the try is accepted — the stream-order detail seed parity
+        hinges on (minigrid_env.py:338-363)."""
+        top = (0, 0) if top is None else (max(top[0], 0), max(top[1], 0))
+        size = (self.w, self.h) if size is None else size
+        while True:
+            pos = (
+                self.rand_int(top[0], min(top[0] + size[0], self.w)),
+                self.rand_int(top[1], min(top[1] + size[1], self.h)),
+            )
+            if not self.is_empty(*pos):
+                continue
+            if pos == tuple(self.agent_pos):
+                continue
+            if reject_fn and reject_fn(pos):
+                continue
+            break
+        if triple is not None:
+            self.put(pos[0], pos[1], triple)
+        return pos
+
+    def place_agent(self, top=None, size=None, rand_dir=True) -> tuple:
+        self.agent_pos = (-1, -1)
+        pos = self.place_obj(None, top, size)
+        self.agent_pos = pos
+        if rand_dir:
+            self.agent_dir = self.rand_int(0, 4)
+        return pos
+
+
+# ---------------------------------------------------------------------------
+# Per-family generators, each replaying the reference _gen_grid call order.
+# ---------------------------------------------------------------------------
+
+
+def _gen_empty(env, g: _HostGrid) -> None:
+    """envs/empty.py:96-114."""
+    g.wall_rect(0, 0, g.w, g.h)
+    g.put(g.w - 2, g.h - 2, _GOAL)
+    if env.agent_start_pos is not None:
+        g.agent_pos = tuple(env.agent_start_pos)
+        g.agent_dir = int(env.agent_start_dir)
+    else:
+        g.place_agent()
+
+
+def _gen_doorkey(env, g: _HostGrid) -> None:
+    """envs/doorkey.py:76-99."""
+    g.wall_rect(0, 0, g.w, g.h)
+    g.put(g.w - 2, g.h - 2, _GOAL)
+    split = g.rand_int(2, g.w - 2)
+    g.vert_wall(split, 0)
+    g.place_agent(size=(split, g.h))
+    door_idx = g.rand_int(1, g.w - 2)
+    door = np.asarray(
+        [C.OBJECT_TO_IDX["door"], C.COLOR_TO_IDX["yellow"],
+         C.STATE_TO_IDX["locked"]], np.uint8)
+    g.put(split, door_idx, door)
+    key = np.asarray(
+        [C.OBJECT_TO_IDX["key"], C.COLOR_TO_IDX["yellow"], 0], np.uint8)
+    g.place_obj(key, top=(0, 0), size=(split, g.h))
+
+
+def _gen_lavagap(env, g: _HostGrid) -> None:
+    """envs/lavagap.py:101-130."""
+    g.wall_rect(0, 0, g.w, g.h)
+    g.agent_pos, g.agent_dir = (1, 1), 0
+    g.put(g.w - 2, g.h - 2, _GOAL)
+    gap = (g.rand_int(2, g.w - 2), g.rand_int(1, g.h - 1))
+    obstacle = _LAVA if getattr(env, "obstacle_type", "lava") == "lava" else _WALL
+    g.vert_wall(gap[0], 1, g.h - 2, obstacle)
+    g.put(gap[0], gap[1], _EMPTY)
+
+
+def _gen_fourrooms(env, g: _HostGrid) -> None:
+    """envs/fourrooms.py:79-128."""
+    g.horz_wall(0, 0)
+    g.horz_wall(0, g.h - 1)
+    g.vert_wall(0, 0)
+    g.vert_wall(g.w - 1, 0)
+    room_w, room_h = g.w // 2, g.h // 2
+    for j in range(2):
+        for i in range(2):
+            x_l, y_t = i * room_w, j * room_h
+            x_r, y_b = x_l + room_w, y_t + room_h
+            if i + 1 < 2:
+                g.vert_wall(x_r, y_t, room_h)
+                g.put(x_r, g.rand_int(y_t + 1, y_b), _EMPTY)
+            if j + 1 < 2:
+                g.horz_wall(x_l, y_b, room_w)
+                g.put(g.rand_int(x_l + 1, x_r), y_b, _EMPTY)
+    agent_default = getattr(env, "_agent_default_pos", None)
+    goal_default = getattr(env, "_goal_default_pos", None)
+    if agent_default is not None:
+        g.agent_pos = tuple(agent_default)
+        g.put(agent_default[0], agent_default[1], _EMPTY)
+        g.agent_dir = g.rand_int(0, 4)
+    else:
+        g.place_agent()
+    if goal_default is not None:
+        g.put(goal_default[0], goal_default[1], _GOAL)
+    else:
+        g.place_obj(_GOAL)
+
+
+def _gen_crossing(env, g: _HostGrid) -> None:
+    """envs/crossing.py:127-177 — shuffle/choice call order preserved."""
+    g.wall_rect(0, 0, g.w, g.h)
+    g.agent_pos, g.agent_dir = (1, 1), 0
+    g.put(g.w - 2, g.h - 2, _GOAL)
+
+    obstacle = _LAVA if getattr(env, "obstacle_type", "lava") == "lava" else _WALL
+    v, h = object(), object()
+    rivers = [(v, i) for i in range(2, g.h - 2, 2)]
+    rivers += [(h, j) for j in range(2, g.w - 2, 2)]
+    g.rng.shuffle(rivers)
+    rivers = rivers[: env.num_crossings]
+    rivers_v = sorted(pos for direction, pos in rivers if direction is v)
+    rivers_h = sorted(pos for direction, pos in rivers if direction is h)
+    import itertools as itt
+
+    obstacle_pos = itt.chain(
+        itt.product(range(1, g.w - 1), rivers_h),
+        itt.product(rivers_v, range(1, g.h - 1)),
+    )
+    for i, j in obstacle_pos:
+        g.put(i, j, obstacle)
+
+    path = [h] * len(rivers_v) + [v] * len(rivers_h)
+    g.rng.shuffle(path)
+    limits_v = [0] + rivers_v + [g.h - 1]
+    limits_h = [0] + rivers_h + [g.w - 1]
+    room_i = room_j = 0
+    for direction in path:
+        if direction is h:
+            i = limits_v[room_i + 1]
+            j = int(g.rng.choice(range(limits_h[room_j] + 1,
+                                       limits_h[room_j + 1])))
+            room_i += 1
+        else:
+            i = int(g.rng.choice(range(limits_v[room_i] + 1,
+                                       limits_v[room_i + 1])))
+            j = limits_h[room_j + 1]
+            room_j += 1
+        g.put(i, j, _EMPTY)
+
+
+_GENERATORS = {
+    "Empty": _gen_empty,
+    "DoorKey": _gen_doorkey,
+    "LavaGap": _gen_lavagap,
+    "FourRooms": _gen_fourrooms,
+    "Crossing": _gen_crossing,
+}
+
+
+def _fold_seed(seed: int):
+    import jax
+
+    return jax.random.PRNGKey(seed)
+
+
+def supported(env) -> bool:
+    return type(env).__name__.replace("Env", "") in _GENERATORS
+
+
+def reset_exact(env, seed: int, params=None):
+    """Reference-identical reset: (obs, EnvState) for ``seed``, matching
+    ``ref_env.reset(seed=seed)`` bit-for-bit."""
+    params = params if params is not None else env.default_params
+    name = type(env).__name__.replace("Env", "")
+    try:
+        gen = _GENERATORS[name]
+    except KeyError:
+        raise NotImplementedError(
+            f"seed-exact generation not implemented for {type(env).__name__};"
+            f" supported: {sorted(_GENERATORS)}"
+        ) from None
+    g = _HostGrid(_np_random(seed), params.width, params.height)
+    gen(env, g)
+    assert g.agent_pos >= (0, 0) and g.agent_dir >= 0
+    state = base_state(
+        jnp.asarray(g.grid),
+        jnp.asarray(g.agent_pos, jnp.int32),
+        jnp.asarray(g.agent_dir, jnp.int32),
+        rng=_fold_seed(seed),
+        has_boxes=False,
+    )
+    return env.observation(state, params), state

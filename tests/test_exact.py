@@ -1,0 +1,104 @@
+"""Seed-exact generation parity (BASELINE config[0] demonstrated literally).
+
+``reset_exact(env, seed)`` must reproduce the reference's
+``ref_env.reset(seed=seed)`` world state and first observation bit-for-bit
+WITHOUT lowering any reference state — generation itself replays the
+reference's np_random call order (minigrid_env.py:338-363 sample-per-try;
+crossing.py:144-177 shuffle/choice order).  The episode then continues on
+the tensor step kernels in lockstep with the reference: full
+reset-through-trajectory parity from nothing but an integer seed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from minigrid_tpu.utils.exact import reset_exact, supported
+from tests.conftest import requires_reference
+
+
+def _case(name):
+    import minigrid.envs as R
+
+    import minigrid_tpu.envs as E
+
+    return {
+        "empty_random": (lambda: R.EmptyEnv(size=8, agent_start_pos=None),
+                         lambda: E.EmptyEnv(size=8, agent_start_pos=None)),
+        "doorkey": (lambda: R.DoorKeyEnv(size=8),
+                    lambda: E.DoorKeyEnv(size=8)),
+        "lavagap": (lambda: R.LavaGapEnv(size=7),
+                    lambda: E.LavaGapEnv(size=7)),
+        "fourrooms": (lambda: R.FourRoomsEnv(), lambda: E.FourRoomsEnv()),
+        "crossing_lava": (lambda: R.CrossingEnv(size=11, num_crossings=3),
+                          lambda: E.CrossingEnv(size=11, num_crossings=3)),
+        "crossing_wall": (
+            lambda: R.CrossingEnv(size=9, num_crossings=2,
+                                  obstacle_type=__import__(
+                                      "minigrid.core.world_object",
+                                      fromlist=["Wall"]).Wall),
+            lambda: E.CrossingEnv(size=9, num_crossings=2,
+                                  obstacle_type="wall")),
+    }[name]
+
+
+CASES = ["empty_random", "doorkey", "lavagap", "fourrooms",
+         "crossing_lava", "crossing_wall"]
+
+
+@requires_reference
+@pytest.mark.parametrize("case", CASES)
+@pytest.mark.parametrize("seed", range(5))
+def test_exact_reset_matches_reference(case, seed):
+    ref_f, env_f = _case(case)
+    ref = ref_f()
+    env = env_f()
+    assert supported(env)
+    obs_ref, _ = ref.reset(seed=seed)
+    obs, state = reset_exact(env, seed)
+    np.testing.assert_array_equal(
+        np.asarray(ref.grid.encode(), np.uint8), np.asarray(state.grid)
+    )
+    assert tuple(np.asarray(state.agent_pos)) == tuple(ref.agent_pos)
+    assert int(state.agent_dir) == ref.agent_dir
+    np.testing.assert_array_equal(obs_ref["image"], np.asarray(obs["image"]))
+    assert obs_ref["direction"] == int(obs["direction"])
+
+
+@requires_reference
+@pytest.mark.parametrize("case", ["doorkey", "crossing_lava", "fourrooms"])
+@pytest.mark.parametrize("seed", [0, 11])
+def test_exact_seed_trajectory_parity(case, seed):
+    """From an integer seed only: exact reset, then lockstep trajectory —
+    obs/reward/terminated/truncated bitwise for 120 random actions."""
+    ref_f, env_f = _case(case)
+    ref = ref_f()
+    env = env_f()
+    params = env.default_params
+    obs_ref, _ = ref.reset(seed=seed)
+    obs, state = reset_exact(env, seed)
+    np.testing.assert_array_equal(obs_ref["image"], np.asarray(obs["image"]))
+
+    step = jax.jit(lambda s, a: env.step(s, a, params))
+    rng = np.random.default_rng(seed)
+    for t in range(120):
+        a = int(rng.integers(0, 8))
+        o_r, r_r, term_r, trunc_r, _ = ref.step(a)
+        o, state, r, term, trunc, _ = step(state, jnp.int32(a))
+        assert np.array_equal(o_r["image"], np.asarray(o["image"])), (case, t)
+        assert abs(r_r - float(r)) < 1e-6, (case, t)
+        assert term_r == bool(term) and trunc_r == bool(trunc), (case, t)
+        if term_r or trunc_r:
+            break
+
+
+def test_exact_unsupported_raises():
+    import minigrid_tpu
+
+    env = minigrid_tpu.make("MiniGrid-MemoryS13-v0")
+    with pytest.raises(NotImplementedError):
+        reset_exact(env, 0)
