@@ -100,6 +100,10 @@ class BabyAILevel(RoomGridEnv):
     # Missions come from a recursive grammar -> gym adapter declares an
     # accept-all BabyAIMissionSpace (reference roomgrid_level.py:26-42).
     grammar_missions = True
+    # Verifier success/failure can fire on any step -> episode ends are
+    # frequent and desynchronized -> VectorEnv picks the pooled reset
+    # strategy (parallel/vector.py) over the batch-level cond.
+    desynchronized_resets = True
 
     def __init__(self, room_size: int = 8, num_rows: int = 3, num_cols: int = 3,
                  max_steps: int | None = None, **kwargs):
@@ -107,11 +111,12 @@ class BabyAILevel(RoomGridEnv):
         # the params field holds a fallback bound.
         self.fixed_max_steps = max_steps is not None
         nav_bound = room_size**2 * num_rows * num_cols * 8
-        # Speculative generation width (see generate): single-room levels
-        # have small gen graphs and spend most steps regenerating under
-        # auto-reset; multi-room graphs are large enough that the 4x graph
-        # blowup dominates compile time.
-        self.parallel_gen_attempts = 4 if num_rows * num_cols == 1 else 1
+        # Speculative generation width (see generate).  With the pooled
+        # reset strategy (parallel/vector.py) regeneration is off the hot
+        # step path entirely, so K>1 only multiplies the compiled gen-graph
+        # size for no wall-clock win; the fueled mop-up loop alone handles
+        # the ~16% rejection rate.
+        self.parallel_gen_attempts = 1
         super().__init__(room_size=room_size, num_rows=num_rows,
                          num_cols=num_cols,
                          max_steps=max_steps if max_steps is not None else nav_bound,
@@ -161,11 +166,29 @@ class BabyAILevel(RoomGridEnv):
         b, instr, articles, valid, _, _ = jax.lax.while_loop(
             cond, body, (b, instr, articles, valid, key, jnp.asarray(1))
         )
+        return self._finalize(b, instr, k_state, params)
 
+    def _finalize(self, b, instr, k_state, params) -> EnvState:
         # Verifier state + per-episode step limit (roomgrid_level.py:70-83).
+        # The 8 desc-match planes are computed ONCE here, after the retry
+        # loop, and serve both the verifier tracking state and the article
+        # ('a'/'the') flags — gen_level attempts no longer pay for them.
         room_mask = self.agent_room_mask(b, params)
+        m1, m2 = [], []
+        for k in range(4):
+            m1.append(V.desc_match_mask(b["grid"], instr.d1[k],
+                                        b["agent_pos"], b["agent_dir"],
+                                        room_mask))
+            m2.append(V.desc_match_mask(b["grid"], instr.d2[k],
+                                        b["agent_pos"], b["agent_dir"],
+                                        room_mask))
+        tracked1, tracked2 = jnp.stack(m1), jnp.stack(m2)
+        articles = jnp.stack(
+            [jnp.sum(m) > 1 for k in range(4) for m in (m1[k], m2[k])]
+        )
         vs = V.init_verifier_state(b["grid"], instr, b["agent_pos"],
-                                   b["agent_dir"], room_mask)
+                                   b["agent_dir"], room_mask,
+                                   masks=(tracked1, tracked2))
         if self.fixed_max_steps:
             max_steps = jnp.asarray(0, jnp.int32)  # use params.max_steps
         else:
@@ -204,22 +227,13 @@ class BabyAILevel(RoomGridEnv):
         rj = room // self.num_cols
         return self.place_agent_in_room(b, k_pos, params, ri, rj)
 
-    def article_flags(self, b: dict, instr: V.InstrCode,
-                      params: EnvParams) -> jnp.ndarray:
-        """Plural flags per desc: 'a X' when >1 object matches, 'the X'
-        otherwise (verifier.py:96-100), evaluated at generation time."""
-        room_mask = self.agent_room_mask(b, params)
-        flags = []
-        for k in range(4):
-            for d in (instr.d1[k], instr.d2[k]):
-                m = V.desc_match_mask(b["grid"], d, b["agent_pos"],
-                                      b["agent_dir"], room_mask)
-                flags.append(jnp.sum(m) > 1)
-        return jnp.stack(flags)
-
     def finish_level(self, b, instr, params, valid=True):
-        """Standard (builder, instr, articles, valid) return tuple."""
-        return b, instr, self.article_flags(b, instr, params), jnp.asarray(valid)
+        """Standard (builder, instr, articles, valid) return tuple.
+
+        The articles slot is a placeholder: real flags (and the verifier's
+        desc-match planes) are computed once in :meth:`_finalize` after the
+        retry loop, not per attempt."""
+        return b, instr, jnp.zeros((8,), bool), jnp.asarray(valid)
 
     def agent_room_mask(self, b: dict, params: EnvParams) -> jnp.ndarray:
         """(W, H) mask of the agent's starting room (for location descs)."""
@@ -236,6 +250,7 @@ class BabyAILevel(RoomGridEnv):
         vs, status = V.verify_step(
             state.extra["vs"], state.extra["instr"], state.grid,
             state.agent_pos, state.agent_dir, action, outcome,
+            done_actions=params.babyai_done_actions,
         )
         state = state.replace(extra={**state.extra, "vs": vs})
         reward = jnp.where(status == V.SUCCESS,

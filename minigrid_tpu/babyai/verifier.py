@@ -37,7 +37,14 @@ import jax
 import jax.numpy as jnp
 
 from minigrid_tpu.core import constants as C
-from minigrid_tpu.core.step import DROP, PICKUP, TOGGLE, StepOutcome, dir_to_vec
+from minigrid_tpu.core.step import (
+    DONE,
+    DROP,
+    PICKUP,
+    TOGGLE,
+    StepOutcome,
+    dir_to_vec,
+)
 
 # Instruction clause kinds
 K_NONE, K_GOTO, K_PICKUP, K_OPEN, K_PUTNEXT = range(5)
@@ -81,6 +88,10 @@ class VerifierState:
     carry1: jnp.ndarray  # bool[4] — hand holds a tracked desc1 object
     pre_empty: jnp.ndarray  # bool[4] — hands empty at the clause's last eval
     pre_carry1: jnp.ndarray  # bool[4] — tracked desc1 obj in hand at last eval
+    # bool[4] — clause condition matched on its last evaluation (the
+    # reference's ActionInstr.lastStepMatch, verifier.py:215-249; only
+    # consulted in BABYAI_DONE_ACTIONS mode)
+    last_match: jnp.ndarray
     # Packed operand statuses: status + 4*c0_success + 8*c1_success.
     a_packed: jnp.ndarray  # int32
     b_packed: jnp.ndarray  # int32
@@ -216,16 +227,25 @@ def init_verifier_state(
     agent_pos: jnp.ndarray,
     agent_dir: jnp.ndarray,
     room_mask: jnp.ndarray,
+    masks: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> VerifierState:
-    """reset_verifier for every clause (verifier.py:262-266, 332-339, ...)."""
-    masks1, masks2 = [], []
-    for k in range(4):
-        masks1.append(desc_match_mask(grid, instr.d1[k], agent_pos, agent_dir,
-                                      room_mask))
-        masks2.append(desc_match_mask(grid, instr.d2[k], agent_pos, agent_dir,
-                                      room_mask))
-    tracked1 = jnp.stack(masks1)
-    tracked2 = jnp.stack(masks2)
+    """reset_verifier for every clause (verifier.py:262-266, 332-339, ...).
+
+    ``masks`` lets the caller pass precomputed (tracked1, tracked2) desc
+    match planes — generation needs the same 8 planes for the article
+    flags, and desc_match_mask is a noticeable slice of the level-gen
+    graph."""
+    if masks is not None:
+        tracked1, tracked2 = masks
+    else:
+        masks1, masks2 = [], []
+        for k in range(4):
+            masks1.append(desc_match_mask(grid, instr.d1[k], agent_pos,
+                                          agent_dir, room_mask))
+            masks2.append(desc_match_mask(grid, instr.d2[k], agent_pos,
+                                          agent_dir, room_mask))
+        tracked1 = jnp.stack(masks1)
+        tracked2 = jnp.stack(masks2)
     return VerifierState(
         tracked1=tracked1,
         tracked2=tracked2,
@@ -234,6 +254,7 @@ def init_verifier_state(
         carry1=jnp.zeros((4,), bool),
         pre_empty=jnp.ones((4,), bool),  # preCarrying = None at reset
         pre_carry1=jnp.zeros((4,), bool),
+        last_match=jnp.zeros((4,), bool),
         a_packed=jnp.asarray(CONTINUE, jnp.int32),
         b_packed=jnp.asarray(CONTINUE, jnp.int32),
     )
@@ -365,12 +386,27 @@ def verify_step(
     agent_dir: jnp.ndarray,
     action: jnp.ndarray,
     outcome: StepOutcome,
+    done_actions: bool = False,
 ) -> tuple[VerifierState, jnp.ndarray]:
     """One verifier tick after the env transition (roomgrid_level.py:86-103).
-    Returns (new state, status ∈ {CONTINUE, SUCCESS, FAILURE})."""
+    Returns (new state, status ∈ {CONTINUE, SUCCESS, FAILURE}).
+
+    ``done_actions`` (static) enables the reference's BABYAI_DONE_ACTIONS
+    mode (verifier.py:25, 227-243): a clause succeeds only via an explicit
+    ``done`` action taken while its condition matched on the previous step;
+    a ``done`` without a match fails, and non-done actions never terminate
+    (their raw result is recorded in ``last_match`` and discarded)."""
     action = jnp.asarray(action, jnp.int32)
     vs = _update_tracking(vs, outcome, action)
     raw = _eval_clauses(vs, instr, grid, agent_pos, agent_dir, action, outcome)
+    if done_actions:
+        raw_match = raw == SUCCESS
+        is_done_act = action == DONE
+        raw = jnp.where(
+            is_done_act,
+            jnp.where(vs.last_match, SUCCESS, FAILURE),
+            CONTINUE,
+        )
 
     a_stat, a_c0, a_c1 = _unpack(vs.a_packed)
     b_stat, b_c0, b_c1 = _unpack(vs.b_packed)
@@ -458,8 +494,16 @@ def verify_step(
     new_pre_empty = jnp.where(clause_active, hands_empty_after, vs.pre_empty)
     new_pre_carry1 = jnp.where(clause_active, vs.carry1, vs.pre_carry1)
 
+    new_last_match = vs.last_match
+    if done_actions:
+        # lastStepMatch updates only when verify() ran for the clause and the
+        # action was not `done` (verifier.py:236-243).
+        new_last_match = jnp.where(clause_active & ~is_done_act,
+                                   raw_match, vs.last_match)
+
     vs = vs.replace(a_packed=new_a, b_packed=new_b,
-                    pre_empty=new_pre_empty, pre_carry1=new_pre_carry1)
+                    pre_empty=new_pre_empty, pre_carry1=new_pre_carry1,
+                    last_match=new_last_match)
     return vs, status
 
 

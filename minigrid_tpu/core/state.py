@@ -62,6 +62,10 @@ class EnvParams:
     max_steps: int = struct.field(pytree_node=False, default=100)
     agent_view_size: int = struct.field(pytree_node=False, default=7)
     see_through_walls: bool = struct.field(pytree_node=False, default=False)
+    # BabyAI only: the reference's BABYAI_DONE_ACTIONS env var
+    # (envs/babyai/core/verifier.py:25) as a proper static config flag —
+    # clauses succeed/fail only via an explicit `done` action.
+    babyai_done_actions: bool = struct.field(pytree_node=False, default=False)
 
 
 def empty_grid(width: int, height: int) -> jnp.ndarray:

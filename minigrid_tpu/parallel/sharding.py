@@ -38,6 +38,23 @@ def batch_sharding(mesh: Mesh, axis_name: str = "env") -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
+def batch_shard_tree(tree: Any, mesh: Mesh, axis_name: str = "env") -> Any:
+    """Sharding tree for an env-batch pytree: leaves whose leading axis
+    divides over the mesh (the env batch B, and the level-pool axis P of
+    :class:`minigrid_tpu.parallel.vector.PooledState`) shard along it;
+    scalars (ring head/avail counters, PRNG keys) replicate."""
+    n = int(np.prod([mesh.shape[a] for a in (axis_name,)]))
+    shard = NamedSharding(mesh, P(axis_name))
+    rep = NamedSharding(mesh, P())
+
+    def spec(x):
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] >= n and x.shape[0] % n == 0:
+            return shard
+        return rep
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
 class ShardedVectorEnv:
     """A VectorEnv whose batch axis is sharded over a device mesh.
 
@@ -70,7 +87,7 @@ class ShardedVectorEnv:
 
         def _shard_tree(tree: Any) -> Any:
             return jax.lax.with_sharding_constraint(
-                tree, jax.tree_util.tree_map(lambda _: shard, tree)
+                tree, batch_shard_tree(tree, self.mesh, axis_name)
             )
 
         def _reset(key):
@@ -123,7 +140,7 @@ def sharded_rollout(
         key, k_reset = jax.random.split(key)
         obs, state = venv._reset(k_reset)
         state = jax.lax.with_sharding_constraint(
-            state, jax.tree_util.tree_map(lambda _: shard, state)
+            state, batch_shard_tree(state, mesh, axis_name)
         )
 
         def body(carry, k):

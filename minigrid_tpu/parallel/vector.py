@@ -19,6 +19,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from minigrid_tpu.core.env import Env
 from minigrid_tpu.core.state import EnvParams, EnvState
@@ -32,6 +33,30 @@ def tree_select(pred: jnp.ndarray, a: Any, b: Any) -> Any:
         return jnp.where(p, x, y)
 
     return jax.tree_util.tree_map(sel, a, b)
+
+
+@struct.dataclass
+class PooledState:
+    """Batch state for the 'pooled' reset strategy: the live env batch plus
+    a rotating double-buffer of pre-generated, never-used levels.
+
+    Slot layout is gather-free by construction (a [B]-indexed leading-axis
+    gather lowers to a serialized row-copy kernel on TPU — measured
+    ~100+ us at B=4096, dwarfing the whole step): slots ``b`` and ``b + B``
+    both serve env ``b``, so consumption is two static slices and a
+    per-env select (fuses into the step), and refill writes C fresh levels
+    per step to a rotating *contiguous* window via dynamic_update_slice.
+    Every level is an iid draw from the same generator the per-env reset
+    path uses, so auto-reset from the pool is distributionally identical to
+    generating at reset time — while the expensive, control-flow-heavy
+    generation graph runs C ≈ B/16 wide instead of B wide every step.
+    """
+
+    envs: EnvState  # leading dim B
+    pool: EnvState  # leading dim 2B — slots [0,B) primary, [B,2B) secondary
+    fresh: jnp.ndarray  # bool[2B] — slot holds an unconsumed level
+    tick: jnp.ndarray  # int32 — refill window rotation counter
+    key: jnp.ndarray  # refill PRNG stream
 
 
 class VectorEnv:
@@ -49,60 +74,187 @@ class VectorEnv:
 
     def __init__(self, env: Env, num_envs: int, params: EnvParams | None = None,
                  auto_reset: bool = True, final_obs: bool = False,
-                 conditional_reset: bool | None = None):
+                 conditional_reset: bool | None = None,
+                 reset_strategy: str | None = None,
+                 pool_refill: int | None = None):
         self.env = env
         self.num_envs = num_envs
         self.params = params if params is not None else env.default_params
         self.auto_reset = auto_reset
         self.final_obs = final_obs
-        # Reset strategy: 'fused' regenerates unconditionally every step and
-        # selects — fastest when generation is about as cheap as the step
-        # itself (a scalar lax.cond stalls the TPU pipeline more than the
-        # regeneration costs).  'conditional' wraps regeneration in a
-        # batch-level cond on any(done) — three orders of magnitude faster
-        # for RoomGrid/BabyAI families whose connect_all/verifier generation
-        # dwarfs the step.  Envs declare which side they're on via the
-        # `expensive_generation` class attr; callers can override.
-        if conditional_reset is None:
-            conditional_reset = getattr(env, "expensive_generation", False)
-        self.conditional_reset = conditional_reset
+        # Reset strategies:
+        #   'fused'       regenerate every env every step and select — fastest
+        #                 when generation is about as cheap as the step (a
+        #                 scalar lax.cond stalls the TPU pipeline more than
+        #                 regeneration costs).
+        #   'conditional' wrap regeneration in a batch-level cond on
+        #                 any(done) — wins when episode ends are rare or
+        #                 synchronized (e.g. truncation-only families).
+        #   'pooled'      consume pre-generated levels from a ring buffer and
+        #                 refill C per step — wins when generation is
+        #                 expensive AND episode ends are desynchronized
+        #                 (BabyAI/RoomGrid under a solving policy), where
+        #                 'conditional' degenerates to full-batch
+        #                 regeneration every step.
+        # Envs declare expensive generation via the `expensive_generation`
+        # class attr; callers can override via reset_strategy.
+        if reset_strategy is None:
+            if conditional_reset is not None:  # legacy override
+                reset_strategy = "conditional" if conditional_reset else "fused"
+            elif getattr(env, "desynchronized_resets", False) and num_envs >= 64:
+                # frequent, scattered episode ends (BabyAI verifier
+                # success/failure fires any step): conditional degenerates
+                # to full-batch regeneration every step
+                reset_strategy = "pooled"
+            elif getattr(env, "expensive_generation", False):
+                # rare or truncation-synchronized ends (RoomGrid task envs,
+                # MultiRoom under max_steps): the batch-level cond runs the
+                # generator a few steps out of hundreds
+                reset_strategy = "conditional"
+            else:
+                reset_strategy = "fused"
+        assert reset_strategy in ("fused", "conditional", "pooled")
+        self.reset_strategy = reset_strategy
+        self.conditional_reset = reset_strategy == "conditional"
+        # Pool sizing: two slots per env cover a fully synchronized
+        # truncation burst with a spare, and a refill window of B/16 per
+        # step revisits every slot within 32 steps — an env only falls
+        # through to the regeneration fallback when it finishes three
+        # episodes inside one rotation.  pool_size is fixed at 2B by the
+        # slot layout; pool_refill must divide 2B.
+        self.pool_size = 2 * num_envs
+        if pool_refill is None:
+            pool_refill = min(2 * num_envs, max(16, num_envs // 16))
+        if reset_strategy == "pooled":
+            assert (2 * num_envs) % pool_refill == 0, (
+                f"pool_refill={pool_refill} must divide 2*num_envs={2*num_envs}"
+            )
+        self.pool_refill = pool_refill
 
         params_ = self.params
+        pooled = reset_strategy == "pooled" and auto_reset
+        # Chunked generation for the wide one-shot paths (initial reset, pool
+        # fill, underflow fallback): lax.map with a bounded batch_size keeps
+        # the compiled generator graph and its live memory at chunk width
+        # instead of B — the difference between BabyAI BossLevel compiling at
+        # B=4096 and faulting the chip.
+        gen_chunk = min(128, num_envs) if pooled else num_envs
+
+        def _gen_many(keys):
+            if keys.shape[0] <= gen_chunk:
+                return jax.vmap(lambda k: env.generate(k, params_))(keys)
+            return jax.lax.map(
+                lambda k: env.generate(k, params_), keys,
+                batch_size=gen_chunk,
+            )
 
         def _reset(key: jnp.ndarray):
-            keys = jax.random.split(key, num_envs)
-            return jax.vmap(lambda k: env.reset(k, params_))(keys)
+            if not pooled:
+                keys = jax.random.split(key, num_envs)
+                return jax.vmap(lambda k: env.reset(k, params_))(keys)
+            key, k_gen, k_refill = jax.random.split(key, 3)
+            # one generator call site covers envs AND the initial pool fill
+            # (each extra call site is another compiled copy of the whole
+            # generation graph)
+            both = _gen_many(
+                jax.random.split(k_gen, num_envs + self.pool_size)
+            )
+            envs = jax.tree_util.tree_map(lambda x: x[:num_envs], both)
+            pool = jax.tree_util.tree_map(lambda x: x[num_envs:], both)
+            obs = jax.vmap(lambda s: env.observation(s, params_))(envs)
+            return obs, PooledState(
+                envs=envs,
+                pool=pool,
+                fresh=jnp.ones((self.pool_size,), bool),
+                tick=jnp.asarray(0, jnp.int32),
+                key=k_refill,
+            )
 
-        def _step(state: EnvState, action: jnp.ndarray):
-            next_state, reward, terminated, truncated = jax.vmap(
-                lambda s, a: env.step_state(s, a, params_)
-            )(state, action)
+        def _regen_masked(ns, mask):
+            """Per-env regeneration for `mask` envs (each env's own stream)."""
+            keys = jax.vmap(lambda r: jax.random.split(r)[0])(ns.rng)
+            return tree_select(mask, _gen_many(keys), ns)
+
+        def _finish(next_state, new_state, reward, terminated, truncated):
             info: dict = {}
-            if not auto_reset:
-                obs = jax.vmap(lambda s: env.observation(s, params_))(next_state)
-                return obs, next_state, reward, terminated, truncated, info
-            done = terminated | truncated
-
-            # Regenerate finished episodes from each env's own stream, select
-            # state first, then pay for the obs kernel exactly once.
-            def regenerate(ns):
-                fresh = jax.vmap(
-                    lambda s: env.generate(jax.random.split(s.rng)[0], params_)
-                )(ns)
-                return tree_select(done, fresh, ns)
-
-            if self.conditional_reset:
-                new_state = jax.lax.cond(
-                    jnp.any(done), regenerate, lambda ns: ns, next_state
-                )
-            else:
-                new_state = regenerate(next_state)
             new_obs = jax.vmap(lambda s: env.observation(s, params_))(new_state)
             if final_obs:
                 info["final_obs"] = jax.vmap(
                     lambda s: env.observation(s, params_)
                 )(next_state)
-            return new_obs, new_state, reward, terminated, truncated, info
+            return new_obs, reward, terminated, truncated, info
+
+        def _step(state, action: jnp.ndarray):
+            envs = state.envs if pooled else state
+            next_state, reward, terminated, truncated = jax.vmap(
+                lambda s, a: env.step_state(s, a, params_)
+            )(envs, action)
+            if not auto_reset:
+                obs = jax.vmap(lambda s: env.observation(s, params_))(next_state)
+                return obs, next_state, reward, terminated, truncated, {}
+            done = terminated | truncated
+
+            if not pooled:
+                if self.conditional_reset:
+                    new_state = jax.lax.cond(
+                        jnp.any(done),
+                        lambda ns: _regen_masked(ns, done),
+                        lambda ns: ns,
+                        next_state,
+                    )
+                else:
+                    new_state = _regen_masked(next_state, done)
+                obs, reward, terminated, truncated, info = _finish(
+                    next_state, new_state, reward, terminated, truncated)
+                return obs, new_state, reward, terminated, truncated, info
+
+            # ---- pooled auto-reset (gather/scatter-free) --------------------
+            B, C = num_envs, self.pool_refill
+            pool, flags = state.pool, state.fresh
+
+            # consume: env b prefers its primary slot b, else secondary b+B
+            lo = jax.tree_util.tree_map(lambda p: p[:B], pool)
+            hi = jax.tree_util.tree_map(lambda p: p[B:], pool)
+            f_lo, f_hi = flags[:B], flags[B:]
+            use_lo = done & f_lo
+            use_hi = done & ~f_lo & f_hi
+            covered = use_lo | use_hi
+            fresh_states = tree_select(use_lo, lo, hi)
+            new_envs = tree_select(covered, fresh_states, next_state)
+            flags = jnp.concatenate([f_lo & ~use_lo, f_hi & ~use_hi])
+
+            # rare fallback (an env finished three episodes inside one
+            # refill rotation): per-env regeneration under a batch cond
+            uncovered = done & ~covered
+            new_envs = jax.lax.cond(
+                jnp.any(uncovered),
+                lambda ns: _regen_masked(ns, uncovered),
+                lambda ns: ns,
+                new_envs,
+            )
+
+            # refill: C fresh iid levels into the rotating contiguous window.
+            # (Measured dead end: single-attempt candidates with un-fresh
+            # invalid slots make ~2.5% of consumptions miss both slots, so
+            # the full-batch fallback cond fires on ~most steps at B=4096 —
+            # 5x slower than paying the mop-up loop here.)
+            key, k = jax.random.split(state.key)
+            cand = _gen_many(jax.random.split(k, C))
+            off = (state.tick * C) % (2 * B)
+
+            def write(p, c):
+                return jax.lax.dynamic_update_slice_in_dim(p, c, off, axis=0)
+
+            pool = jax.tree_util.tree_map(write, pool, cand)
+            flags = jax.lax.dynamic_update_slice_in_dim(
+                flags, jnp.ones((C,), bool), off, axis=0
+            )
+
+            new_state = PooledState(envs=new_envs, pool=pool, fresh=flags,
+                                    tick=state.tick + 1, key=key)
+            obs, reward, terminated, truncated, info = _finish(
+                next_state, new_envs, reward, terminated, truncated)
+            return obs, new_state, reward, terminated, truncated, info
 
         self._reset = jax.jit(_reset)
         self._step = jax.jit(_step)

@@ -245,11 +245,25 @@ class PPO:
             assert "dp" in mesh.axis_names, "mesh must have a 'dp' axis"
             self._batch_shard = NamedSharding(mesh, P("dp"))
             self._replicated = NamedSharding(mesh, P())
+            self._dp = mesh.shape["dp"]
         else:
             self._batch_shard = None
             self._replicated = None
+            self._dp = 1
 
         self._update = jax.jit(self._update_impl)
+
+    def _batch_shard_tree(self, tree):
+        """dp-shard leaves with a dp-divisible leading axis (env batch B,
+        level-pool axis P of PooledState); replicate scalars/counters."""
+
+        def spec(x):
+            if (getattr(x, "ndim", 0) >= 1 and x.shape[0] >= self._dp
+                    and x.shape[0] % self._dp == 0):
+                return self._batch_shard
+            return self._replicated
+
+        return jax.tree_util.tree_map(spec, tree)
 
     # -- setup ---------------------------------------------------------------
     def init(self, key: jnp.ndarray):
@@ -285,10 +299,7 @@ class PPO:
                 train_state = jax.device_put(train_state, self._replicated)
             obs = jax.device_put(obs, self._batch_shard)
             env_state = jax.device_put(
-                env_state,
-                jax.tree_util.tree_map(
-                    lambda _: self._batch_shard, env_state
-                ),
+                env_state, self._batch_shard_tree(env_state)
             )
         stats = EpisodeStats.zeros(cfg.num_envs)
         return (train_state, env_state, obs, key, stats)
@@ -302,8 +313,7 @@ class PPO:
             if self._batch_shard is None:
                 return tree
             return jax.lax.with_sharding_constraint(
-                tree,
-                jax.tree_util.tree_map(lambda _: self._batch_shard, tree),
+                tree, self._batch_shard_tree(tree)
             )
 
         # ---- rollout: T steps under one scan --------------------------------

@@ -310,3 +310,23 @@ def test_babyai_lockstep_parity(eid, seeds):
             assert te_r == bool(te) and tr_r == bool(tr), (eid, seed, t, a)
             if te_r or tr_r:
                 break
+
+
+@requires_reference
+def test_babyai_done_actions_mode_parity():
+    """BABYAI_DONE_ACTIONS verifier mode (verifier.py:25, 227-243) as
+    EnvParams.babyai_done_actions: lockstep vs a reference process started
+    with the env var set (it latches at import time, hence the subprocess)."""
+    import os
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__), "done_actions_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    proc = subprocess.run(
+        [sys.executable, worker], env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "DONE-ACTIONS-OK" in proc.stdout

@@ -63,3 +63,87 @@ def test_rollout_runs_under_jit():
     # No episode ended (64 < max_steps and random policy), so step counts
     # advanced in lockstep.
     assert bool(jnp.all(state.step_count == 64) | jnp.any(traj["terminated"]))
+
+
+# ---------------------------------------------------------------------------
+# pooled reset strategy
+# ---------------------------------------------------------------------------
+
+
+def test_pooled_autoreset_semantics():
+    """Pooled auto-reset: done envs get a fresh valid episode immediately
+    (step_count 0, valid level), reward/term report the finished episode."""
+    from minigrid_tpu.parallel.vector import PooledState
+
+    env = minigrid_tpu.make("MiniGrid-KeyCorridorS3R1-v0")
+    venv = VectorEnv(env, num_envs=8, reset_strategy="pooled",
+                     pool_refill=2)
+    obs, state = venv.reset(jax.random.PRNGKey(0))
+    assert isinstance(state, PooledState)
+    assert bool(state.fresh.all())
+    stay = jnp.full((8,), 6, dtype=jnp.int32)
+    for _ in range(int(env.max_steps)):
+        obs, state, reward, term, trunc, info = venv.step(state, stay)
+    assert bool(jnp.all(trunc))
+    assert bool(jnp.all(state.envs.step_count == 0))  # fresh episodes
+    from minigrid_tpu.core import constants as C
+
+    g = np.asarray(state.envs.grid)
+    # every fresh level is a real KeyCorridor: has a locked door and a key
+    locked = ((g[..., 0] == C.OBJECT_TO_IDX["door"])
+              & (g[..., 2] == C.STATE_TO_IDX["locked"]))
+    keys = g[..., 0] == C.OBJECT_TO_IDX["key"]
+    assert locked.reshape(8, -1).any(axis=1).all()
+    assert keys.reshape(8, -1).any(axis=1).all()
+
+
+def test_pooled_underflow_fallback():
+    """A synchronized done burst larger than the pool falls back to per-env
+    regeneration — auto-reset semantics hold regardless of pool state."""
+    env = minigrid_tpu.make("MiniGrid-KeyCorridorS3R1-v0")
+    # refill window of 1: repeated truncation bursts outpace the rotation
+    # and must hit the fallback path
+    venv = VectorEnv(env, num_envs=8, reset_strategy="pooled",
+                     pool_refill=1)
+    obs, state = venv.reset(jax.random.PRNGKey(1))
+    stay = jnp.full((8,), 6, dtype=jnp.int32)
+    for _ in range(int(env.max_steps)):
+        obs, state, reward, term, trunc, info = venv.step(state, stay)
+    assert bool(jnp.all(trunc))
+    assert bool(jnp.all(state.envs.step_count == 0))
+    grids = np.asarray(state.envs.grid)
+    assert not all(np.array_equal(grids[0], grids[i]) for i in range(1, 8))
+
+
+def test_pooled_levels_match_direct_generation_distribution():
+    """Levels consumed from the pool are iid draws from the same generator:
+    compare a layout statistic of pool-consumed levels vs direct resets."""
+    from tests.test_distributions import chi2_same
+    from minigrid_tpu.core import constants as C
+
+    env = minigrid_tpu.make("MiniGrid-KeyCorridorS3R1-v0")
+    params = env.default_params
+
+    # direct: vmapped reset
+    reset = jax.jit(jax.vmap(lambda k: env.reset(k, params)[1]))
+    direct = reset(jax.random.split(jax.random.PRNGKey(7), 400))
+    dg = np.asarray(direct.grid)
+
+    # pooled: run episodes to truncation repeatedly, harvesting fresh levels
+    venv = VectorEnv(env, num_envs=64, reset_strategy="pooled",
+                     pool_refill=16)
+    obs, state = venv.reset(jax.random.PRNGKey(8))
+    stay = jnp.full((64,), 6, dtype=jnp.int32)
+    harvested = []
+    for round_ in range(6):
+        for _ in range(int(env.max_steps)):
+            obs, state, r, te, tr, _ = venv.step(state, stay)
+        harvested.append(np.asarray(state.envs.grid))
+    pg = np.concatenate(harvested)
+
+    def key_cell(g):
+        k = np.argwhere(g[..., 0] == C.OBJECT_TO_IDX["key"])[0]
+        return (int(k[0]), int(k[1]))
+
+    chi2_same([key_cell(g) for g in dg], [key_cell(g) for g in pg],
+              "pooled-vs-direct key cell", alpha=1e-5)
