@@ -100,10 +100,7 @@ class BabyAILevel(RoomGridEnv):
     # Missions come from a recursive grammar -> gym adapter declares an
     # accept-all BabyAIMissionSpace (reference roomgrid_level.py:26-42).
     grammar_missions = True
-    # Verifier success/failure can fire on any step -> episode ends are
-    # frequent and desynchronized -> VectorEnv picks the pooled reset
-    # strategy (parallel/vector.py) over the batch-level cond.
-    desynchronized_resets = True
+
 
     def __init__(self, room_size: int = 8, num_rows: int = 3, num_cols: int = 3,
                  max_steps: int | None = None, **kwargs):
@@ -117,6 +114,15 @@ class BabyAILevel(RoomGridEnv):
         # size for no wall-clock win; the fueled mop-up loop alone handles
         # the ~16% rejection rate.
         self.parallel_gen_attempts = 1
+        # Verifier success/failure can fire on any step, so BabyAI episode
+        # ends are frequent and desynchronized -> VectorEnv picks the pooled
+        # reset strategy.  Refill bandwidth scales with how fast episodes
+        # turn over: single-room levels end within ~room^2 steps (B/8 fresh
+        # levels per step), maze levels run long episodes (B/256 suffices
+        # and the generator is far heavier).
+        self.desynchronized_resets = True
+        self.pool_refill_fraction = (1 / 8 if num_rows * num_cols == 1
+                                     else 1 / 256)
         super().__init__(room_size=room_size, num_rows=num_rows,
                          num_cols=num_cols,
                          max_steps=max_steps if max_steps is not None else nav_bound,
@@ -293,17 +299,25 @@ class BabyAILevel(RoomGridEnv):
             grown = grown | (jnp.roll(src, -1, axis=1) & not_cl)
             return grown
 
-        def body(_, reach):
-            # 4 dilations per trip: same fixpoint, 1/4 the sequential
-            # loop-iteration boundaries (each costs a kernel dispatch).
-            return dilate(dilate(dilate(dilate(reach))))
-
-        # Fixed-trip fori instead of a convergence while_loop: each while
+        # Fixed-trip dilation instead of a convergence while_loop: each while
         # cond is an extra reduce kernel + a pipeline sync per iteration.
         # 2*(w+h) dilations cover every shortest path a BabyAI level can
         # produce (rooms are convex; distractor counts are far too small to
         # build serpentine corridors approaching the w*h worst case).
-        reach = jax.lax.fori_loop(0, (2 * (w + h) + 3) // 4, body, reach)
+        trips = 2 * (w + h)
+        if w * h <= 144:
+            # small (single-room) grids: full static unroll -> the whole
+            # fill is ONE fusion instead of `trips/4` sequential loop
+            # bodies, each of which pays a kernel dispatch (~30-100 us —
+            # this fill sits in the pooled refill's hot generator)
+            for _ in range(trips):
+                reach = dilate(reach)
+        else:
+            def body(_, reach):
+                # 4 dilations per trip: same fixpoint, 1/4 the dispatches
+                return dilate(dilate(dilate(dilate(reach))))
+
+            reach = jax.lax.fori_loop(0, (trips + 3) // 4, body, reach)
         objects = ~empty & ~wall
         return jnp.all(~objects | reach)
 

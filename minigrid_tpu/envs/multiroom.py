@@ -52,56 +52,63 @@ class MultiRoomEnv(Env):
 
     def _chain_attempt(self, key: jnp.ndarray, num_rooms: jnp.ndarray,
                        width: int, height: int):
-        """Build one room chain; returns (tops, sizes, entries, count)."""
+        """Build one room chain; returns (tops, sizes, entries, count).
+
+        The reference's effective retry structure (recursion never pops a
+        placed room and success propagates up immediately,
+        multiroom.py:236-281) is a flat chain with up to 8
+        (exit-door, size, top) tries per depth, ending early on exhaustion.
+        All 8 tries of a depth are drawn AT ONCE and the first valid one
+        committed — first-valid-of-8 ordered draws is exactly the
+        sequential retry distribution, and the while_loop runs one
+        iteration per ROOM instead of one per try (the serial iteration
+        count is what a TPU pays for)."""
         n = self.maxNumRooms
         min_sz, max_sz = 4, self.maxRoomSize
+        T = 8  # per-depth try budget (multiroom.py:245)
+        t8 = jnp.arange(T)
 
         def cond(c):
-            return (c["count"] < num_rooms) & (c["tries"] < 8)
+            return (c["count"] < num_rooms) & ~c["dead"]
 
         def body(c):
             rng = c["rng"]
             rng, k_exit, k_epos, k_sx, k_sy, k_top = jax.random.split(rng, 6)
             first = c["count"] == 0
 
-            # --- exit door from the previous room (multiroom.py:247-268) ---
+            # --- 8 exit-door draws from the previous room
+            #     (multiroom.py:247-268), vectorized over the try axis ------
             prev_top = c["tops"][jnp.maximum(c["count"] - 1, 0)]
             prev_size = c["sizes"][jnp.maximum(c["count"] - 1, 0)]
-            # pick exit wall != previous room's entry wall
-            i3 = jax.random.randint(k_exit, (), 0, 3)
+            i3 = jax.random.randint(k_exit, (T,), 0, 3)
             exit_wall = i3 + (i3 >= c["entry_wall"])
-            off_x = 1 + jax.random.randint(k_epos, (), 0, prev_size[0] - 2)
-            off_y = 1 + jax.random.randint(jax.random.fold_in(k_epos, 1), (),
-                                           0, prev_size[1] - 2)
-            exit_pos = jnp.stack([
-                jnp.where(exit_wall == 0, prev_top[0] + prev_size[0] - 1,
-                          jnp.where(exit_wall == 2, prev_top[0],
-                                    prev_top[0] + off_x)),
-                jnp.where(exit_wall == 1, prev_top[1] + prev_size[1] - 1,
-                          jnp.where(exit_wall == 3, prev_top[1],
-                                    prev_top[1] + off_y)),
-            ])
+            off_x = 1 + jax.random.randint(k_epos, (T,), 0, prev_size[0] - 2)
+            off_y = 1 + jax.random.randint(jax.random.fold_in(k_epos, 1),
+                                           (T,), 0, prev_size[1] - 2)
+            exit_x = jnp.where(exit_wall == 0, prev_top[0] + prev_size[0] - 1,
+                               jnp.where(exit_wall == 2, prev_top[0],
+                                         prev_top[0] + off_x))
+            exit_y = jnp.where(exit_wall == 1, prev_top[1] + prev_size[1] - 1,
+                               jnp.where(exit_wall == 3, prev_top[1],
+                                         prev_top[1] + off_y))
             entry_wall = (exit_wall + 2) % 4
-            epos = jnp.where(first, c["epos"], exit_pos)
-            wall = jnp.where(first, jnp.asarray(2), entry_wall)
+            ex = jnp.where(first, c["epos"][0], exit_x)
+            ey = jnp.where(first, c["epos"][1], exit_y)
+            wall = jnp.where(first, 2, entry_wall)
 
-            # --- room size + top by entry-wall rule (multiroom.py:187-212) ---
-            sx = jax.random.randint(k_sx, (), min_sz, max_sz + 1)
-            sy = jax.random.randint(k_sy, (), min_sz, max_sz + 1)
-            r1 = jax.random.randint(k_top, (), 0, 1 << 30)
+            # --- room size + top by entry-wall rule (multiroom.py:187-212) --
+            sx = jax.random.randint(k_sx, (T,), min_sz, max_sz + 1)
+            sy = jax.random.randint(k_sy, (T,), min_sz, max_sz + 1)
+            r1 = jax.random.randint(k_top, (T,), 0, 1 << 30)
             span = lambda lo, hi: lo + r1 % jnp.maximum(hi - lo, 1)  # noqa: E731
             # rand_int bounds are exclusive of epos (multiroom.py:196-212) —
             # the entry door must not land on a room corner.
-            top_x = jnp.where(
-                wall == 0, epos[0] - sx + 1,
-                jnp.where(wall == 2, epos[0],
-                          span(epos[0] - sx + 2, epos[0])))
-            top_y = jnp.where(
-                wall == 1, epos[1] - sy + 1,
-                jnp.where(wall == 3, epos[1],
-                          span(epos[1] - sy + 2, epos[1])))
-            top_x = jnp.where(first, epos[0], top_x)
-            top_y = jnp.where(first, epos[1], top_y)
+            top_x = jnp.where(wall == 0, ex - sx + 1,
+                              jnp.where(wall == 2, ex, span(ex - sx + 2, ex)))
+            top_y = jnp.where(wall == 1, ey - sy + 1,
+                              jnp.where(wall == 3, ey, span(ey - sy + 2, ey)))
+            top_x = jnp.where(first, ex, top_x)
+            top_y = jnp.where(first, ey, top_y)
 
             # --- validity (multiroom.py:215-232) ----------------------------
             in_bounds = ((top_x >= 0) & (top_y >= 0)
@@ -110,27 +117,32 @@ class MultiRoomEnv(Env):
             prior = slot < (c["count"] - 1)  # exclude the predecessor
             ox, oy = c["tops"][:, 0], c["tops"][:, 1]
             osx, osy = c["sizes"][:, 0], c["sizes"][:, 1]
-            non_overlap = ((top_x + sx < ox) | (ox + osx <= top_x)
-                           | (top_y + sy < oy) | (oy + osy <= top_y))
-            valid = in_bounds & ~jnp.any(prior & ~non_overlap)
+            # [T, n] overlap of each try against each prior room
+            non_overlap = ((top_x[:, None] + sx[:, None] < ox[None])
+                           | (ox[None] + osx[None] <= top_x[:, None])
+                           | (top_y[:, None] + sy[:, None] < oy[None])
+                           | (oy[None] + osy[None] <= top_y[:, None]))
+            valid = in_bounds & ~jnp.any(prior[None] & ~non_overlap, axis=1)
 
-            # --- commit or retry --------------------------------------------
+            # --- first valid try commits (ordered = sequential retry) -------
+            commit = jnp.any(valid)
+            pick = jnp.argmax(valid)  # first True
+            sel = lambda v: jnp.sum(jnp.where(t8 == pick, v, 0))  # noqa: E731
             idx = c["count"]
-            commit = valid
-            # one-row conditional writes as masked selects (dynamic-index
-            # scatters lower to serialized kCustom kernels under vmap)
             row = (slot == idx) & commit
-            tops = jnp.where(row[:, None], jnp.stack([top_x, top_y]),
-                             c["tops"])
-            sizes = jnp.where(row[:, None], jnp.stack([sx, sy]), c["sizes"])
-            entries = jnp.where(row[:, None], epos, c["entries"])
+            tops = jnp.where(row[:, None],
+                             jnp.stack([sel(top_x), sel(top_y)]), c["tops"])
+            sizes = jnp.where(row[:, None],
+                              jnp.stack([sel(sx), sel(sy)]), c["sizes"])
+            entries = jnp.where(row[:, None],
+                                jnp.stack([sel(ex), sel(ey)]), c["entries"])
             return {
                 "tops": tops,
                 "sizes": sizes,
                 "entries": entries,
                 "count": c["count"] + commit.astype(jnp.int32),
-                "entry_wall": jnp.where(commit, wall, c["entry_wall"]),
-                "tries": jnp.where(commit, 0, c["tries"] + 1),
+                "entry_wall": jnp.where(commit, sel(wall), c["entry_wall"]),
+                "dead": ~commit,
                 "epos": c["epos"],
                 "rng": rng,
             }
@@ -143,7 +155,7 @@ class MultiRoomEnv(Env):
             "entries": jnp.zeros((n, 2), jnp.int32),
             "count": jnp.asarray(0, jnp.int32),
             "entry_wall": jnp.asarray(2, jnp.int32),
-            "tries": jnp.asarray(0, jnp.int32),
+            "dead": jnp.asarray(False),
             "epos": entry,
             "rng": key,
         }
@@ -158,14 +170,21 @@ class MultiRoomEnv(Env):
         num_rooms = jax.random.randint(
             keys[0], (), self.minNumRooms, self.maxNumRooms + 1)
 
-        # Best-of-A chain attempts (multiroom.py:117-135 keeps the longest).
-        best = self._chain_attempt(keys[1], num_rooms, w, h)
-        for a in range(1, self.num_attempts):
-            cand = self._chain_attempt(keys[1 + a], num_rooms, w, h)
-            better = cand[3] > best[3]
-            best = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(better, new, old), cand, best)
-        tops, sizes, entries, count = best
+        # Best-of-A chain attempts (multiroom.py:117-135 keeps the longest),
+        # vmapped: the A attempts are independent, so they run in lockstep
+        # inside ONE while_loop (serial iterations = the longest attempt's
+        # room count) instead of A sequential while_loops.
+        A = self.num_attempts
+        cands = jax.vmap(
+            lambda k: self._chain_attempt(k, num_rooms, w, h)
+        )(jax.random.split(keys[1], A))
+        best_idx = jnp.argmax(cands[3])  # first attempt reaching the max
+        onehot = jnp.arange(A) == best_idx
+        pick = lambda v: jnp.sum(  # noqa: E731
+            jnp.where(onehot.reshape((A,) + (1,) * (v.ndim - 1)), v, 0),
+            axis=0).astype(v.dtype)
+        tops, sizes, entries, count = (pick(cands[0]), pick(cands[1]),
+                                       pick(cands[2]), pick(cands[3]))
 
         # --- rasterize rooms (multiroom.py:141-161) ---------------------------
         grid = empty_grid(w, h)

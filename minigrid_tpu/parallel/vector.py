@@ -124,7 +124,12 @@ class VectorEnv:
         # slot layout; pool_refill must divide 2B.
         self.pool_size = 2 * num_envs
         if pool_refill is None:
-            pool_refill = min(2 * num_envs, max(16, num_envs // 16))
+            frac = getattr(env, "pool_refill_fraction", 1 / 16)
+            target = min(2 * num_envs, max(16, int(num_envs * frac)))
+            # largest divisor of the ring size not exceeding the target
+            pool_refill = max(
+                c for c in range(1, target + 1) if (2 * num_envs) % c == 0
+            )
         if reset_strategy == "pooled":
             assert (2 * num_envs) % pool_refill == 0, (
                 f"pool_refill={pool_refill} must divide 2*num_envs={2*num_envs}"
@@ -138,7 +143,8 @@ class VectorEnv:
         # the compiled generator graph and its live memory at chunk width
         # instead of B — the difference between BabyAI BossLevel compiling at
         # B=4096 and faulting the chip.
-        gen_chunk = min(128, num_envs) if pooled else num_envs
+        expensive = getattr(env, "expensive_generation", False)
+        gen_chunk = min(128, num_envs) if (pooled or expensive) else num_envs
 
         def _gen_many(keys):
             if keys.shape[0] <= gen_chunk:
@@ -151,7 +157,9 @@ class VectorEnv:
         def _reset(key: jnp.ndarray):
             if not pooled:
                 keys = jax.random.split(key, num_envs)
-                return jax.vmap(lambda k: env.reset(k, params_))(keys)
+                envs = _gen_many(keys)
+                obs = jax.vmap(lambda s: env.observation(s, params_))(envs)
+                return obs, envs
             key, k_gen, k_refill = jax.random.split(key, 3)
             # one generator call site covers envs AND the initial pool fill
             # (each extra call site is another compiled copy of the whole
@@ -223,8 +231,12 @@ class VectorEnv:
             new_envs = tree_select(covered, fresh_states, next_state)
             flags = jnp.concatenate([f_lo & ~use_lo, f_hi & ~use_hi])
 
-            # rare fallback (an env finished three episodes inside one
-            # refill rotation): per-env regeneration under a batch cond
+            # rare fallback (an env missed both slots): per-env chunked
+            # regeneration under a batch cond.  (Measured dead end: a
+            # compacted argsort+gather+scatter fallback is F-wide instead of
+            # B-wide, but its mere presence in the cond branch drags the
+            # whole program from 7.2M to 0.9M steps/s — the scatter forces
+            # layouts on the env state that tax every step.)
             uncovered = done & ~covered
             new_envs = jax.lax.cond(
                 jnp.any(uncovered),
@@ -233,13 +245,16 @@ class VectorEnv:
                 new_envs,
             )
 
-            # refill: C fresh iid levels into the rotating contiguous window.
-            # (Measured dead end: single-attempt candidates with un-fresh
-            # invalid slots make ~2.5% of consumptions miss both slots, so
-            # the full-batch fallback cond fires on ~most steps at B=4096 —
-            # 5x slower than paying the mop-up loop here.)
+            # refill: C fresh iid levels (full retry loop: always valid)
+            # into the rotating contiguous window.  (Measured dead end:
+            # straight-line first-valid-of-2 candidates with un-fresh
+            # invalid slots drop the retry while_loop — 57% of the step —
+            # but the ~2.6% invalid slots make the B-wide fallback cond
+            # fire often enough to give back more than they save:
+            # 6.4M vs 7.2M steps/s on GoToRedBall at B=4096.)
             key, k = jax.random.split(state.key)
             cand = _gen_many(jax.random.split(k, C))
+            cand_valid = jnp.ones((C,), bool)
             off = (state.tick * C) % (2 * B)
 
             def write(p, c):
@@ -247,7 +262,7 @@ class VectorEnv:
 
             pool = jax.tree_util.tree_map(write, pool, cand)
             flags = jax.lax.dynamic_update_slice_in_dim(
-                flags, jnp.ones((C,), bool), off, axis=0
+                flags, cand_valid, off, axis=0
             )
 
             new_state = PooledState(envs=new_envs, pool=pool, fresh=flags,

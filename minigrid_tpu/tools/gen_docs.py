@@ -17,8 +17,43 @@ import collections
 import os
 
 
+def gen_gif(env_id: str, path: str, num_frames: int = 48,
+            tile_size: int = 16, seed: int = 0) -> None:
+    """Animated GIF of a random-policy rollout for one env id — the
+    analogue of the reference's docs/scripts/gen_gifs.py:1-80, rendered by
+    the on-device atlas renderer instead of the per-tile rasterizer."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    import minigrid_tpu
+
+    env = minigrid_tpu.make(env_id)
+    params = env.default_params
+    key = jax.random.PRNGKey(seed)
+    key, k = jax.random.split(key)
+    _, state = env.reset(k, params)
+    step = jax.jit(lambda s, a: env.step(s, a, params))
+    frame_fn = jax.jit(
+        lambda s: env.get_frame(s, params, tile_size=tile_size)
+    )
+    frames = []
+    rng = np.random.default_rng(seed)
+    for _ in range(num_frames):
+        frames.append(Image.fromarray(np.asarray(frame_fn(state))))
+        a = int(rng.integers(0, env.num_actions))
+        _, state, _, te, tr, _ = step(state, jnp.int32(a))
+        if bool(te) or bool(tr):
+            key, k = jax.random.split(key)
+            _, state = env.reset(k, params)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    frames[0].save(path, save_all=True, append_images=frames[1:],
+                   duration=100, loop=0)
+
+
 def build_pages(with_images: bool = False, out_dir: str = "docs/environments",
-                seed: int = 0) -> dict[str, str]:
+                seed: int = 0, with_gifs: bool = False) -> dict[str, str]:
     import jax
     import numpy as np
 
@@ -47,10 +82,15 @@ def build_pages(with_images: bool = False, out_dir: str = "docs/environments",
             os.makedirs(os.path.dirname(img_path), exist_ok=True)
             _write_png(img_path, frame)
             lines += [f"![{name}](img/{name}.png)", ""]
+        if with_gifs:
+            gen_gif(ids[0], os.path.join(out_dir, "gif", f"{name}.gif"),
+                    seed=seed)
+            lines += [f"![{name} rollout](gif/{name}.gif)", ""]
 
         env = minigrid_tpu.make(ids[0])
-        try:  # mission-code width varies per family (BabyAI packs more slots)
-            mission = env.mission_text(np.zeros(4, np.int32)) or "(episode-specific)"
+        try:
+            mission = (env.mission_text(np.asarray(env.mission_codes()[0]))
+                       or "(episode-specific)")
         except Exception:
             mission = "(episode-specific)"
         lines += ["## Mission", "", f"`{mission}`", ""]
@@ -96,8 +136,12 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="docs/environments")
     p.add_argument("--images", action="store_true")
+    p.add_argument("--gifs", action="store_true",
+                   help="render an animated random-rollout GIF per family "
+                        "(reference docs/scripts/gen_gifs.py)")
     args = p.parse_args()
-    pages = build_pages(with_images=args.images, out_dir=args.out)
+    pages = build_pages(with_images=args.images, out_dir=args.out,
+                        with_gifs=args.gifs)
     os.makedirs(args.out, exist_ok=True)
     index = ["# Environments", ""]
     for name, content in sorted(pages.items()):

@@ -153,3 +153,20 @@ def test_manual_control_with_fake_window():
     assert win.captions and isinstance(win.captions[-1], str)
     win.handler(FakeEvent("escape"))
     assert win.closed
+
+
+def test_gen_gif(tmp_path):
+    """GIF generation (reference docs/scripts/gen_gifs.py parity): a
+    multi-frame animated GIF per env id, written by the atlas renderer."""
+    from PIL import Image
+
+    from minigrid_tpu.tools.gen_docs import gen_gif
+
+    path = str(tmp_path / "Empty.gif")
+    gen_gif("MiniGrid-Empty-5x5-v0", path, num_frames=6, tile_size=8)
+    img = Image.open(path)
+    assert img.format == "GIF"
+    # PIL merges identical consecutive frames (no-op actions), so the frame
+    # count is <= requested but the gif must be animated
+    assert getattr(img, "n_frames", 1) >= 2
+    assert img.size == (40, 40)  # 5 cells x 8 px
