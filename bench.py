@@ -48,15 +48,19 @@ def main() -> None:
         # Reduce on device; only two scalars cross to the host.
         return jnp.sum(rewards), jnp.sum(terms)
 
-    # Compile (excluded from timing).
-    r, t = run(jax.random.PRNGKey(0))
-    jax.block_until_ready((r, t))
+    def sync(vals) -> float:
+        # HARD sync via host fetch: on the tunneled axon backend
+        # jax.block_until_ready returns before queued work completes, which
+        # silently times nothing (measured "58 billion steps/s").
+        return float(sum(float(v) for v in vals))
+
+    # Compile + first run (excluded from timing).
+    sync(run(jax.random.PRNGKey(0)))
 
     times = []
     for i in range(2):
         t0 = time.perf_counter()
-        r, t = run(jax.random.PRNGKey(i + 1))
-        jax.block_until_ready((r, t))
+        sync(run(jax.random.PRNGKey(i + 1)))
         times.append(time.perf_counter() - t0)
 
     best = min(times)

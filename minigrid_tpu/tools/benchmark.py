@@ -10,6 +10,18 @@ from __future__ import annotations
 import argparse
 import time
 
+
+def _sync(x):
+    """Hard device sync by host fetch — jax.block_until_ready returns
+    before queued work completes on the tunneled axon TPU backend."""
+    import numpy as _np
+
+    import jax as _jax
+
+    leaf = _jax.tree_util.tree_leaves(x)[0]
+    _np.asarray(leaf).ravel()[:1]
+
+
 import jax
 import jax.numpy as jnp
 
@@ -31,30 +43,30 @@ def benchmark(env_id: str = "MiniGrid-LavaGapS7-v0", num_resets: int = 200,
 
     # --- reset latency (benchmark.py:15-21) --------------------------------
     obs, state = reset(jax.random.PRNGKey(0))
-    jax.block_until_ready(state.grid)
+    _sync(state.grid)
     t0 = time.perf_counter()
     for i in range(num_resets):
         obs, state = reset(jax.random.PRNGKey(i))
-    jax.block_until_ready(state.grid)
+    _sync(state.grid)
     reset_ms = (time.perf_counter() - t0) * 1000 / num_resets
 
     # --- full-render FPS (benchmark.py:23-28) ------------------------------
     img = frame(state)
-    jax.block_until_ready(img)
+    _sync(img)
     t0 = time.perf_counter()
     for _ in range(num_frames):
         img = frame(state)
-    jax.block_until_ready(img)
+    _sync(img)
     render_fps = num_frames / (time.perf_counter() - t0)
 
     # --- RGB-partial-obs step FPS (benchmark.py:30-42) ----------------------
     img = pov(state)
-    jax.block_until_ready(img)
+    _sync(img)
     t0 = time.perf_counter()
     for i in range(num_frames):
         obs, state, r, te, tr, _ = step(state, jnp.int32(i % 3))
         img = pov(state)
-    jax.block_until_ready(img)
+    _sync(img)
     rgb_step_fps = num_frames / (time.perf_counter() - t0)
 
     # --- vectorized env-steps/s (no reference analogue) ----------------------
@@ -76,10 +88,10 @@ def benchmark(env_id: str = "MiniGrid-LavaGapS7-v0", num_resets: int = 200,
         return rs.sum()
 
     r = run(jax.random.PRNGKey(0))
-    jax.block_until_ready(r)
+    _sync(r)
     t0 = time.perf_counter()
     r = run(jax.random.PRNGKey(1))
-    jax.block_until_ready(r)
+    _sync(r)
     vec_sps = num_envs * vector_steps / (time.perf_counter() - t0)
 
     return {

@@ -50,11 +50,11 @@ def profile_rollout(env_id: str, num_envs: int, num_steps: int,
         return rs.sum(), ds.sum()
 
     out = run(jax.random.PRNGKey(0))
-    jax.block_until_ready(out)
+    jax.tree_util.tree_map(lambda v: float(jnp.asarray(v).ravel()[0].astype(jnp.float32)), jax.tree_util.tree_leaves(out)[:1])
 
     t0 = time.perf_counter()
     out = run(jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
+    jax.tree_util.tree_map(lambda v: float(jnp.asarray(v).ravel()[0].astype(jnp.float32)), jax.tree_util.tree_leaves(out)[:1])
     wall = time.perf_counter() - t0
 
     result = {
@@ -67,7 +67,7 @@ def profile_rollout(env_id: str, num_envs: int, num_steps: int,
     if trace_dir:
         with jax.profiler.trace(trace_dir):
             out = run(jax.random.PRNGKey(2))
-            jax.block_until_ready(out)
+            jax.tree_util.tree_map(lambda v: float(jnp.asarray(v).ravel()[0].astype(jnp.float32)), jax.tree_util.tree_leaves(out)[:1])
         result["kernels"] = top_kernels(trace_dir)
     return result
 
