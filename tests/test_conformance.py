@@ -36,6 +36,26 @@ ALL_IDS = sorted(registered_ids())
 CHECK_ENV_ALLOWED_WARNINGS: list[str] = []
 
 
+_SWEEP_COUNT = [0]
+
+
+@pytest.fixture(autouse=True)
+def _bound_compile_cache():
+    """Every env id compiles its own reset/step programs; 171 of them in one
+    process exhaust memory (the sweep died to the OOM killer without this).
+    Drop the jit caches and env singletons every few ids."""
+    yield
+    _SWEEP_COUNT[0] += 1
+    if _SWEEP_COUNT[0] % 10 == 0:
+        import jax
+
+        from minigrid_tpu import registry
+
+        gc._JIT_CACHE.clear()
+        registry._INSTANCES.clear()
+        jax.clear_caches()
+
+
 def test_sweep_covers_all_registered_ids():
     """171 = 168 reference ids + 3 fork dataset ids (VERDICT r1 §L8)."""
     assert len(ALL_IDS) == 171
