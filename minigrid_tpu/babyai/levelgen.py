@@ -106,35 +106,46 @@ class LevelGen(BabyAILevel):
         b = self.init_rooms(keys[0], params)
         rows, cols = self.num_rows, self.num_cols
 
-        # --- optional locked room (levelgen.py:58-61, 85-112) ----------------
-        has_locked = jax.random.uniform(keys[1]) < self.locked_room_prob
-        # (room, side) with an existing neighbor, uniform
-        sides = []
-        for r in range(rows * cols):
-            i, j = r % cols, r // cols
-            for s in range(4):
-                _, valid = self.wall_id_for(i, j, s)
-                sides.append(valid)
-        logits = jnp.where(jnp.asarray(sides), 0.0, -jnp.inf)
-        pick = jax.random.categorical(keys[2], logits)
-        lr = pick // 4
-        li, lj = lr % cols, lr // cols
-        b, door, _ = self.add_door(b, keys[3], li, lj, pick % 4, locked=True,
-                                   enabled=has_locked)
-        # key in another room
-        logits_k = jnp.zeros((rows * cols,)).at[lr].set(-jnp.inf)
-        kr = jax.random.categorical(keys[4], logits_k)
-        b, _, _ = self.add_object(b, keys[5], params, kr % cols, kr // cols,
-                                  "key", door[1].astype(jnp.int32),
-                                  enabled=has_locked)
-        locked_rect = self.room_rect_mask(params, li, lj) & has_locked
+        # --- optional locked room (levelgen.py:58-61, 85-112).  Statically
+        # elided when impossible: locked_room_prob == 0, or a single-room
+        # grid (no internal walls — indexing the empty door table is a
+        # trace-time error; caught by the conformance sweep on PickupLoc).
+        use_locked = self.locked_room_prob > 0 and rows * cols > 1
+        if use_locked:
+            has_locked = jax.random.uniform(keys[1]) < self.locked_room_prob
+            # (room, side) with an existing neighbor, uniform
+            sides = []
+            for r in range(rows * cols):
+                i, j = r % cols, r // cols
+                for s in range(4):
+                    _, valid = self.wall_id_for(i, j, s)
+                    sides.append(valid)
+            logits = jnp.where(jnp.asarray(sides), 0.0, -jnp.inf)
+            pick = jax.random.categorical(keys[2], logits)
+            lr = pick // 4
+            li, lj = lr % cols, lr // cols
+            b, door, _ = self.add_door(b, keys[3], li, lj, pick % 4,
+                                       locked=True, enabled=has_locked)
+            # key in another room
+            logits_k = jnp.zeros((rows * cols,)).at[lr].set(-jnp.inf)
+            kr = jax.random.categorical(keys[4], logits_k)
+            b, _, _ = self.add_object(b, keys[5], params, kr % cols,
+                                      kr // cols, "key",
+                                      door[1].astype(jnp.int32),
+                                      enabled=has_locked)
+            locked_rect = self.room_rect_mask(params, li, lj) & has_locked
+        else:
+            has_locked = jnp.asarray(False)
+            lr = jnp.asarray(0)
+            li, lj = jnp.asarray(0), jnp.asarray(0)
+            locked_rect = jnp.zeros((params.width, params.height), bool)
 
         # --- connect, distractors, agent (levelgen.py:62-73) -----------------
         b = self.connect_all(b, keys[6])
         b, _, _ = self.add_distractors(b, keys[7], params,
                                        num_distractors=self.num_dists,
                                        all_unique=False)
-        exclude = (li, lj) if self.locked_room_prob > 0 else None
+        exclude = (li, lj) if use_locked else None
         if exclude is not None:
             # only exclude when the locked room exists
             k_room, k_pos = jax.random.split(keys[8])
