@@ -65,10 +65,16 @@ def _build_atlas_np(tile_size: int, subdivs: int = 3) -> np.ndarray:
     return atlas
 
 
-def get_atlas(tile_size: int = C.TILE_PIXELS) -> jnp.ndarray:
-    """Device-resident atlas for a tile size (built once, cached)."""
+def get_atlas(tile_size: int = C.TILE_PIXELS):
+    """Tile atlas for a tile size (built once, cached).
+
+    Cached as HOST numpy: ``jnp.asarray`` inside a traced function yields a
+    tracer-wrapped constant, and caching that poisons every later trace
+    with an UnexpectedTracerError (hit when ``get_frame`` was first called
+    under ``jax.jit`` by the GIF generator).  A numpy array is a safe
+    constant under any transformation and jnp ops consume it directly."""
     if tile_size not in _atlas_cache:
-        _atlas_cache[tile_size] = jnp.asarray(_build_atlas_np(tile_size))
+        _atlas_cache[tile_size] = _build_atlas_np(tile_size)
     return _atlas_cache[tile_size]
 
 
@@ -101,7 +107,9 @@ def render_grid(
     if highlight_mask is not None:
         variant = variant + 5 * highlight_mask.astype(jnp.int32)
 
-    tiles = atlas[variant, codes]  # (W, H, T, T, 3)
+    # the atlas arrives as host numpy (see get_atlas); lift it to a trace
+    # constant here so tracer indexing works
+    tiles = jnp.asarray(atlas)[variant, codes]  # (W, H, T, T, 3)
     frame = tiles.transpose(1, 2, 0, 3, 4).reshape(h * tile, w * tile, 3)
     return frame
 

@@ -74,17 +74,19 @@ def build_pages(with_images: bool = False, out_dir: str = "docs/environments",
             lines += [doc, ""]
 
         if with_images:
-            env = minigrid_tpu.make(ids[0])
-            params = env.default_params
-            _, state = env.reset(jax.random.PRNGKey(seed), params)
-            frame = np.asarray(env.get_frame(state, params))
             img_path = os.path.join(out_dir, "img", f"{name}.png")
-            os.makedirs(os.path.dirname(img_path), exist_ok=True)
-            _write_png(img_path, frame)
+            if not os.path.exists(img_path):  # media is content-stable per seed
+                env = minigrid_tpu.make(ids[0])
+                params = env.default_params
+                _, state = env.reset(jax.random.PRNGKey(seed), params)
+                frame = np.asarray(env.get_frame(state, params))
+                os.makedirs(os.path.dirname(img_path), exist_ok=True)
+                _write_png(img_path, frame)
             lines += [f"![{name}](img/{name}.png)", ""]
         if with_gifs:
-            gen_gif(ids[0], os.path.join(out_dir, "gif", f"{name}.gif"),
-                    seed=seed)
+            gif_path = os.path.join(out_dir, "gif", f"{name}.gif")
+            if not os.path.exists(gif_path):
+                gen_gif(ids[0], gif_path, seed=seed)
             lines += [f"![{name} rollout](gif/{name}.gif)", ""]
 
         env = minigrid_tpu.make(ids[0])
@@ -133,6 +135,13 @@ def _write_png(path: str, rgb) -> None:
 
 
 def main() -> None:
+    # Doc generation is a host-side batch job (tiny single-env programs,
+    # one compile per family): pin it to the CPU backend — on the tunneled
+    # remote TPU every family pays the slow remote compile for no benefit.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="docs/environments")
     p.add_argument("--images", action="store_true")
