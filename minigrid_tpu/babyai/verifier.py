@@ -23,8 +23,9 @@ Verification is a branchless reimplementation of the Before/After/And state
 machines (verifier.py:449-566) over int statuses (0 continue / 1 success /
 2 failure).  Clause-local state (the preCarrying snapshot) updates only when
 the reference would have evaluated that clause.  The optional
-``BABYAI_DONE_ACTIONS`` mode (verifier.py:25) is not modeled (it is off by
-default in the reference); strict SeqInstr composition is likewise unused by
+``BABYAI_DONE_ACTIONS`` mode (verifier.py:25, 227-243, 559-561) is modeled
+via ``verify_step(..., done_actions=True)`` (exposed as
+``EnvParams.babyai_done_actions``); strict SeqInstr composition is unused by
 the grammar and unsupported.
 """
 
@@ -417,6 +418,14 @@ def verify_step(
         r1 = jnp.where(c1_done, SUCCESS, raw[base + 1])
         and_res = jnp.where((r0 == SUCCESS) & (r1 == SUCCESS),
                             SUCCESS, CONTINUE)
+        if done_actions:
+            # AndInstr fails on a `done` action when both (non-yet-succeeded)
+            # operands fail (verifier.py:559-561); a locked success makes the
+            # corresponding r SUCCESS, blocking the failure — as upstream,
+            # where `a_done == "failure"` is False once a_done is "success".
+            and_res = jnp.where(
+                is_done_act & (r0 == FAILURE) & (r1 == FAILURE),
+                FAILURE, and_res)
         return (jnp.where(is_and, and_res, raw[base]),
                 r0 == SUCCESS, r1 == SUCCESS)
 
@@ -432,6 +441,12 @@ def verify_step(
     b_eff = jnp.where(b_stat == SUCCESS, SUCCESS, b_res)
     and_status = jnp.where((a_eff == SUCCESS) & (b_eff == SUCCESS),
                            SUCCESS, CONTINUE)
+    if done_actions:
+        # Top-level And: a bad `done` (both operands failed) ends the episode
+        # with FAILURE instead of continuing (verifier.py:559-561).
+        and_status = jnp.where(
+            is_done_act & (a_eff == FAILURE) & (b_eff == FAILURE),
+            FAILURE, and_status)
 
     # --- Before (verifier.py:465-487). --------------------------------------
     a_done = a_stat == SUCCESS

@@ -57,7 +57,10 @@ def initialize(coordinator_address: str | None = None,
             return False
         except RuntimeError as e:
             msg = str(e).lower()
-            if "already" in msg and "before" not in msg:
+            if (("already" in msg or "only be called once" in msg)
+                    and "before" not in msg):
+                # double-initialize race past the is_initialized() guard;
+                # JAX 0.9 phrases it "should only be called once."
                 return jax.process_count() > 1
             if "before any jax calls" in msg:
                 # The XLA backend was touched before initialize(); topology

@@ -41,7 +41,14 @@ def make(id: str, **overrides: Any) -> Env:
 
     Envs are stateless pure-function bundles, so the no-override path
     returns a cached singleton per id — repeat ``make`` calls (and the jit
-    caches keyed on the instance's bound methods) are shared."""
+    caches keyed on the instance's bound methods) are shared.
+
+    Singleton contract: do NOT mutate attributes of an instance returned
+    without overrides — every other holder of the id (including jitted
+    kernels cached on the instance in ``gym_compat``) sees the mutation.
+    Code that needs a mutable instance (e.g. the scripted ``propose_move``
+    override pattern) must construct the env class directly or pass an
+    override (any kwarg, even its default value) to bypass the cache."""
     if id not in _REGISTRY:
         raise KeyError(
             f"Unknown env id {id!r}. Known ids: {sorted(_REGISTRY)[:10]}... "

@@ -114,7 +114,10 @@ def load_process_shards(path: str, template: Any) -> Any:
     global array host-side, and re-shards it onto the template leaf's
     sharding — device_put only actually transfers this process's addressable
     slices."""
-    files = sorted(glob.glob(path + ".proc*"))
+    # Exclude '*.tmp' leftovers from a crash mid-save: the atomic os.replace
+    # protocol means a torn payload only ever exists under the .tmp suffix.
+    files = sorted(f for f in glob.glob(path + ".proc*")
+                   if not f.endswith(".tmp"))
     if not files:
         raise FileNotFoundError(path)
     payloads = []

@@ -269,7 +269,8 @@ def reset_exact(env, seed: int, params=None):
         ) from None
     g = _HostGrid(_np_random(seed), params.width, params.height)
     gen(env, g)
-    assert g.agent_pos >= (0, 0) and g.agent_dir >= 0
+    assert (g.agent_pos[0] >= 0 and g.agent_pos[1] >= 0
+            and g.agent_dir >= 0)
     state = base_state(
         jnp.asarray(g.grid),
         jnp.asarray(g.agent_pos, jnp.int32),
