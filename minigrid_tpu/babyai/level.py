@@ -39,7 +39,15 @@ def flatten_instr(instr: V.InstrCode, articles: jnp.ndarray) -> jnp.ndarray:
     """InstrCode -> int32[43] mission vector.
     Layout: [seq, a_and, b_and, kinds(4), d1(12), d2(12), strict(4),
     articles(8)] where articles[2k], articles[2k+1] flag plural ('a' vs
-    'the') for clause k's desc1/desc2 (verifier.py:96-100)."""
+    'the') for clause k's desc1/desc2 (verifier.py:96-100).
+
+    Single-clause (n=1) codes are zero-padded here so the mission layout is
+    identical across all level families."""
+    instr = V.pad_clauses(instr)
+    if articles.shape[0] < 8:
+        articles = jnp.concatenate(
+            [articles, jnp.zeros((8 - articles.shape[0],), articles.dtype)]
+        )
     return jnp.concatenate([
         jnp.stack([instr.seq_kind, instr.a_and.astype(jnp.int32),
                    instr.b_and.astype(jnp.int32)]),
@@ -180,8 +188,9 @@ class BabyAILevel(RoomGridEnv):
         # loop, and serve both the verifier tracking state and the article
         # ('a'/'the') flags — gen_level attempts no longer pay for them.
         room_mask = self.agent_room_mask(b, params)
+        n_clauses = instr.kinds.shape[0]
         m1, m2 = [], []
-        for k in range(4):
+        for k in range(n_clauses):
             m1.append(V.desc_match_mask(b["grid"], instr.d1[k],
                                         b["agent_pos"], b["agent_dir"],
                                         room_mask))
@@ -190,7 +199,7 @@ class BabyAILevel(RoomGridEnv):
                                         room_mask))
         tracked1, tracked2 = jnp.stack(m1), jnp.stack(m2)
         articles = jnp.stack(
-            [jnp.sum(m) > 1 for k in range(4) for m in (m1[k], m2[k])]
+            [jnp.sum(m) > 1 for k in range(n_clauses) for m in (m1[k], m2[k])]
         )
         vs = V.init_verifier_state(b["grid"], instr, b["agent_pos"],
                                    b["agent_dir"], room_mask,
@@ -327,7 +336,7 @@ class BabyAILevel(RoomGridEnv):
         move/fixed sets must not share objects or already be adjacent."""
         room_mask = None  # validation runs before agent move constraints
         ok = jnp.asarray(True)
-        for k in range(4):
+        for k in range(instr.kinds.shape[0]):
             is_pn = instr.kinds[k] == V.K_PUTNEXT
             m1 = V.desc_match_mask(b["grid"], instr.d1[k], agent_pos,
                                    agent_dir, room_mask)

@@ -82,14 +82,14 @@ class InstrCode:
 class VerifierState:
     """Runtime tracking state (per env)."""
 
-    tracked1: jnp.ndarray  # bool[4, W, H] — true current positions, desc1
-    tracked2: jnp.ndarray  # bool[4, W, H] — desc2 (PutNext fixed)
-    stale1: jnp.ndarray  # bool[4, W, H] — verify-visible positions (obj_poss)
-    stale2: jnp.ndarray  # bool[4, W, H]
-    carry1: jnp.ndarray  # bool[4] — hand holds a tracked desc1 object
-    pre_empty: jnp.ndarray  # bool[4] — hands empty at the clause's last eval
-    pre_carry1: jnp.ndarray  # bool[4] — tracked desc1 obj in hand at last eval
-    # bool[4] — clause condition matched on its last evaluation (the
+    tracked1: jnp.ndarray  # bool[K, W, H] — true current positions, desc1
+    tracked2: jnp.ndarray  # bool[K, W, H] — desc2 (PutNext fixed)
+    stale1: jnp.ndarray  # bool[K, W, H] — verify-visible positions (obj_poss)
+    stale2: jnp.ndarray  # bool[K, W, H]
+    carry1: jnp.ndarray  # bool[K] — hand holds a tracked desc1 object
+    pre_empty: jnp.ndarray  # bool[K] — hands empty at the clause's last eval
+    pre_carry1: jnp.ndarray  # bool[K] — tracked desc1 obj in hand at last eval
+    # bool[K] — clause condition matched on its last evaluation (the
     # reference's ActionInstr.lastStepMatch, verifier.py:215-249; only
     # consulted in BABYAI_DONE_ACTIONS mode)
     last_match: jnp.ndarray
@@ -111,21 +111,28 @@ def desc(type_id, color_id=0, loc=0) -> jnp.ndarray:
                       jnp.asarray(loc, jnp.int32)])
 
 
-def empty_instr() -> InstrCode:
+def empty_instr(n: int = 4) -> InstrCode:
     return InstrCode(
         seq_kind=jnp.asarray(S_SINGLE, jnp.int32),
         a_and=jnp.asarray(False),
         b_and=jnp.asarray(False),
-        kinds=jnp.zeros((4,), jnp.int32),
-        d1=jnp.zeros((4, 3), jnp.int32),
-        d2=jnp.zeros((4, 3), jnp.int32),
-        strict=jnp.zeros((4,), bool),
+        kinds=jnp.zeros((n,), jnp.int32),
+        d1=jnp.zeros((n, 3), jnp.int32),
+        d2=jnp.zeros((n, 3), jnp.int32),
+        strict=jnp.zeros((n,), bool),
     )
 
 
-def single_clause(kind, d1, d2=None, strict=False) -> InstrCode:
-    """InstrCode for one action clause.  Arguments may be traced values."""
-    base = empty_instr()
+def single_clause(kind, d1, d2=None, strict=False, n: int = 1) -> InstrCode:
+    """InstrCode for one action clause.  Arguments may be traced values.
+
+    The clause count ``n`` is a STATIC specialization knob: a single-clause
+    level family carries an ``n=1`` code, which collapses the verifier's
+    tracked planes from [4, W, H] to [1, W, H] and compiles ``verify_step``
+    down to the one-clause status path — no Before/After/And machinery, a
+    quarter of the desc-match planes at generation.  Composite codes
+    (``and_instr``/``seq_instr``) are always 4-slot."""
+    base = empty_instr(n)
     kinds = base.kinds.at[0].set(jnp.asarray(kind, jnp.int32))
     d1_arr = base.d1.at[0].set(jnp.asarray(d1, jnp.int32))
     d2_arr = base.d2
@@ -134,6 +141,21 @@ def single_clause(kind, d1, d2=None, strict=False) -> InstrCode:
     return base.replace(
         kinds=kinds, d1=d1_arr, d2=d2_arr,
         strict=base.strict.at[0].set(jnp.asarray(strict)),
+    )
+
+
+def pad_clauses(x: InstrCode, n: int = 4) -> InstrCode:
+    """Zero-pad an InstrCode to ``n`` clause slots (K_NONE clauses are
+    inert in every status path)."""
+    k = x.kinds.shape[0]
+    if k >= n:
+        return x
+    p = n - k
+    return x.replace(
+        kinds=jnp.concatenate([x.kinds, jnp.zeros((p,), jnp.int32)]),
+        d1=jnp.concatenate([x.d1, jnp.zeros((p, 3), jnp.int32)]),
+        d2=jnp.concatenate([x.d2, jnp.zeros((p, 3), jnp.int32)]),
+        strict=jnp.concatenate([x.strict, jnp.zeros((p,), bool)]),
     )
 
 
@@ -157,6 +179,9 @@ def seq_instr(seq_kind, a: InstrCode, b: InstrCode) -> InstrCode:
     """Before/After(a, b) where a, b are single or And codes.  An And operand
     occupies both slots of its half; a single operand occupies the first.
     seq_kind may be traced (S_BEFORE or S_AFTER)."""
+    a = pad_clauses(a)
+    b = pad_clauses(b)
+
     def half(x: InstrCode):
         is_and = x.seq_kind == S_AND
         # single clause sits at slot 0; And at slots 0 (=0) and 1 (=2)
@@ -236,11 +261,12 @@ def init_verifier_state(
     match planes — generation needs the same 8 planes for the article
     flags, and desc_match_mask is a noticeable slice of the level-gen
     graph."""
+    n_clauses = instr.kinds.shape[0]
     if masks is not None:
         tracked1, tracked2 = masks
     else:
         masks1, masks2 = [], []
-        for k in range(4):
+        for k in range(n_clauses):
             masks1.append(desc_match_mask(grid, instr.d1[k], agent_pos,
                                           agent_dir, room_mask))
             masks2.append(desc_match_mask(grid, instr.d2[k], agent_pos,
@@ -252,10 +278,10 @@ def init_verifier_state(
         tracked2=tracked2,
         stale1=tracked1,
         stale2=tracked2,
-        carry1=jnp.zeros((4,), bool),
-        pre_empty=jnp.ones((4,), bool),  # preCarrying = None at reset
-        pre_carry1=jnp.zeros((4,), bool),
-        last_match=jnp.zeros((4,), bool),
+        carry1=jnp.zeros((n_clauses,), bool),
+        pre_empty=jnp.ones((n_clauses,), bool),  # preCarrying = None at reset
+        pre_carry1=jnp.zeros((n_clauses,), bool),
+        last_match=jnp.zeros((n_clauses,), bool),
         a_packed=jnp.asarray(CONTINUE, jnp.int32),
         b_packed=jnp.asarray(CONTINUE, jnp.int32),
     )
@@ -338,8 +364,8 @@ def _eval_clauses(
     tracked1_at_front = jnp.any(vs.tracked1 & front[None], axis=(1, 2))
     stale2_adj = jnp.any(vs.stale2 & adj[None], axis=(1, 2))
 
-    kind = instr.kinds  # int32[4]
-    strict = instr.strict  # bool[4]
+    kind = instr.kinds  # int32[K]
+    strict = instr.strict  # bool[K]
 
     # GoTo (verifier.py:307-314): facing a verify-visible position.
     goto_succ = stale1_at_front & in_b
@@ -357,7 +383,7 @@ def _eval_clauses(
                     & stale2_adj)
     putnext_fail = (action == PICKUP) & strict & carrying_after
 
-    res = jnp.full((4,), CONTINUE, jnp.int32)
+    res = jnp.full(kind.shape, CONTINUE, jnp.int32)
     res = jnp.where((kind == K_GOTO) & goto_succ, SUCCESS, res)
     res = jnp.where((kind == K_OPEN) & open_succ, SUCCESS, res)
     res = jnp.where((kind == K_OPEN) & open_fail & (res == CONTINUE),
@@ -408,6 +434,23 @@ def verify_step(
             jnp.where(vs.last_match, SUCCESS, FAILURE),
             CONTINUE,
         )
+
+    if instr.kinds.shape[0] == 1:
+        # Statically single-clause family (n=1 InstrCode): the raw clause
+        # result IS the episode status — the whole Before/After/And operand
+        # machinery compiles away, and clause 0 is unconditionally active
+        # (matches the S_SINGLE path below: a_active=True, b_active=False).
+        status = raw[0]
+        empty_before = outcome.prev_carrying[0] == C.OBJECT_TO_IDX["empty"]
+        hands_empty_after = ((empty_before & ~outcome.picked_up)
+                             | outcome.dropped)
+        new_last_match = vs.last_match
+        if done_actions:
+            new_last_match = jnp.where(~is_done_act, raw_match, vs.last_match)
+        vs = vs.replace(pre_empty=hands_empty_after[None],
+                        pre_carry1=vs.carry1,
+                        last_match=new_last_match)
+        return vs, status
 
     a_stat, a_c0, a_c1 = _unpack(vs.a_packed)
     b_stat, b_c0, b_c1 = _unpack(vs.b_packed)
