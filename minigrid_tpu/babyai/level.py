@@ -170,16 +170,29 @@ class BabyAILevel(RoomGridEnv):
         # mops up the ~p^K stragglers.  K trades compile size for runtime:
         # multi-room LevelGen graphs are large, so they stay sequential.
         K = self.parallel_gen_attempts
-        cand = [attempt(k) for k in jax.random.split(k0, max(K, 1))]
-        b, instr, articles, valid = cand[-1]
-        for cb, ci, ca, cv in reversed(cand[:-1]):
-            b, instr, articles = jax.tree_util.tree_map(
-                lambda a, bb, cv=cv: jnp.where(cv, a, bb),
-                (cb, ci, ca), (b, instr, articles))
-            valid = cv | valid
-        b, instr, articles, valid, _, _ = jax.lax.while_loop(
-            cond, body, (b, instr, articles, valid, key, jnp.asarray(1))
-        )
+        if K <= 1:
+            # Single-attempt path: instantiate the gen graph ONCE, inside the
+            # while body only (a zeroed dummy carry + valid=False forces the
+            # first iteration).  A separate pre-loop attempt would double the
+            # compiled gen-graph size — XLA inlines each call site — for no
+            # runtime win: the loop's first iteration IS the first attempt.
+            shapes = jax.eval_shape(attempt, k0)
+            b, instr, articles, valid = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+            b, instr, articles, valid, _, _ = jax.lax.while_loop(
+                cond, body, (b, instr, articles, valid, key, jnp.asarray(0))
+            )
+        else:
+            cand = [attempt(k) for k in jax.random.split(k0, K)]
+            b, instr, articles, valid = cand[-1]
+            for cb, ci, ca, cv in reversed(cand[:-1]):
+                b, instr, articles = jax.tree_util.tree_map(
+                    lambda a, bb, cv=cv: jnp.where(cv, a, bb),
+                    (cb, ci, ca), (b, instr, articles))
+                valid = cv | valid
+            b, instr, articles, valid, _, _ = jax.lax.while_loop(
+                cond, body, (b, instr, articles, valid, key, jnp.asarray(1))
+            )
         return self._finalize(b, instr, k_state, params)
 
     def _finalize(self, b, instr, k_state, params) -> EnvState:
@@ -189,18 +202,14 @@ class BabyAILevel(RoomGridEnv):
         # ('a'/'the') flags — gen_level attempts no longer pay for them.
         room_mask = self.agent_room_mask(b, params)
         n_clauses = instr.kinds.shape[0]
-        m1, m2 = [], []
-        for k in range(n_clauses):
-            m1.append(V.desc_match_mask(b["grid"], instr.d1[k],
-                                        b["agent_pos"], b["agent_dir"],
-                                        room_mask))
-            m2.append(V.desc_match_mask(b["grid"], instr.d2[k],
-                                        b["agent_pos"], b["agent_dir"],
-                                        room_mask))
-        tracked1, tracked2 = jnp.stack(m1), jnp.stack(m2)
-        articles = jnp.stack(
-            [jnp.sum(m) > 1 for k in range(n_clauses) for m in (m1[k], m2[k])]
-        )
+        masks = jax.vmap(V.desc_match_mask, in_axes=(None, 0, None, None, None))(
+            b["grid"], jnp.concatenate([instr.d1, instr.d2]),
+            b["agent_pos"], b["agent_dir"], room_mask)
+        tracked1, tracked2 = masks[:n_clauses], masks[n_clauses:]
+        plural = jnp.sum(masks, axis=(1, 2)) > 1
+        # interleave to [d1_0, d2_0, d1_1, d2_1, ...]
+        articles = jnp.stack([plural[:n_clauses], plural[n_clauses:]],
+                             axis=1).reshape(-1)
         vs = V.init_verifier_state(b["grid"], instr, b["agent_pos"],
                                    b["agent_dir"], room_mask,
                                    masks=(tracked1, tracked2))
@@ -335,21 +344,22 @@ class BabyAILevel(RoomGridEnv):
         """validate_instrs for PutNext clauses (roomgrid_level.py:159-176):
         move/fixed sets must not share objects or already be adjacent."""
         room_mask = None  # validation runs before agent move constraints
-        ok = jnp.asarray(True)
-        for k in range(instr.kinds.shape[0]):
-            is_pn = instr.kinds[k] == V.K_PUTNEXT
-            m1 = V.desc_match_mask(b["grid"], instr.d1[k], agent_pos,
-                                   agent_dir, room_mask)
-            m2 = V.desc_match_mask(b["grid"], instr.d2[k], agent_pos,
-                                   agent_dir, room_mask)
-            shared = jnp.any(m1 & m2)
-            dil = (jnp.roll(m2, 1, 0).at[0, :].set(False)
-                   | jnp.roll(m2, -1, 0).at[-1, :].set(False)
-                   | jnp.roll(m2, 1, 1).at[:, 0].set(False)
-                   | jnp.roll(m2, -1, 1).at[:, -1].set(False))
-            adjacent = jnp.any(m1 & dil)
-            ok &= ~is_pn | (~shared & ~adjacent)
-        return ok
+        n = instr.kinds.shape[0]
+        masks = jax.vmap(V.desc_match_mask, in_axes=(None, 0, None, None, None))(
+            b["grid"], jnp.concatenate([instr.d1, instr.d2]),
+            agent_pos, agent_dir, room_mask)
+        m1, m2 = masks[:n], masks[n:]  # bool[n, W, H] each
+        is_pn = instr.kinds == V.K_PUTNEXT
+        shared = jnp.any(m1 & m2, axis=(1, 2))
+        xs = jax.lax.broadcasted_iota(jnp.int32, m2.shape, 1)
+        ys = jax.lax.broadcasted_iota(jnp.int32, m2.shape, 2)
+        w, h = m2.shape[1], m2.shape[2]
+        dil = ((jnp.roll(m2, 1, 1) & (xs != 0))
+               | (jnp.roll(m2, -1, 1) & (xs != w - 1))
+               | (jnp.roll(m2, 1, 2) & (ys != 0))
+               | (jnp.roll(m2, -1, 2) & (ys != h - 1)))
+        adjacent = jnp.any(m1 & dil, axis=(1, 2))
+        return jnp.all(~is_pn | (~shared & ~adjacent))
 
     # ------------------------------------------------------------------ #
     # mission surface

@@ -50,15 +50,31 @@ class LevelGen(BabyAILevel):
         ids = jnp.asarray([_ACTION_IDS[a] for a in self.action_kinds])
         return ids[jax.random.randint(key, (), 0, len(self.action_kinds))]
 
-    def _rand_obj(self, key, b, params, locked_rect, has_locked,
-                  kind, is_fixed_slot) -> jnp.ndarray:
-        """rand_obj (levelgen.py:114-155) — fueled resample-until-match.
-        The allowed type set depends on the clause kind:
-        open -> door only; pickup / putnext-move -> not-door; goto /
-        putnext-fixed -> any (levelgen.py:167-176)."""
-        room_mask = self.agent_room_mask(b, params)
+    def _rand_objs(self, key_d1, key_d2, b, params, locked_rect, has_locked,
+                   kinds) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """All 8 descriptor draws (4 d1 + 4 d2) of rand_obj
+        (levelgen.py:114-155) as ONE vectorized fueled resample loop.
 
-        def sample_desc(k):
+        Eight independent per-slot while_loops each inline a full
+        desc-match graph — ~8x the trace/compile size of this single
+        [8]-lane loop for the identical per-lane draw sequence: lane s
+        consumes the deterministic split-chain of fold_in(key, s), and a
+        finished lane's select keeps its accepted descriptor no matter how
+        long the other lanes keep looping.
+
+        The allowed type set depends on the clause kind: open -> door
+        only; pickup / putnext-move -> not-door; goto / putnext-fixed ->
+        any (levelgen.py:167-176)."""
+        room_mask = self.agent_room_mask(b, params)
+        n = kinds.shape[0]
+        keys0 = jnp.stack(
+            [jax.random.fold_in(key_d1, s) for s in range(n)]
+            + [jax.random.fold_in(key_d2, s) for s in range(n)])
+        kinds8 = jnp.concatenate([kinds, kinds])
+        is_fixed8 = jnp.concatenate([jnp.zeros((n,), bool),
+                                     jnp.ones((n,), bool)])
+
+        def sample_desc(k, kind, is_fixed_slot):
             k1, k2, k3, k4 = jax.random.split(k, 4)
             # color: uniform over [None, *colors] (levelgen.py:127)
             ci = jax.random.randint(k1, (), 0, 11)
@@ -74,30 +90,41 @@ class LevelGen(BabyAILevel):
             loc = jnp.where(use_loc, 1 + jax.random.randint(k4, (), 0, 4), 0)
             return jnp.stack([t_local, color, loc])
 
-        def ok(desc):
-            m = V.desc_match_mask(b["grid"], desc, b["agent_pos"],
-                                  b["agent_dir"], room_mask)
-            any_match = jnp.any(m)
+        sample_vec = jax.vmap(sample_desc)
+
+        def ok_vec(descs):
+            m = jax.vmap(V.desc_match_mask,
+                         in_axes=(None, 0, None, None, None))(
+                b["grid"], descs, b["agent_pos"], b["agent_dir"], room_mask)
+            any_match = jnp.any(m, axis=(1, 2))
             if not self.implicit_unlock:
                 # at least one match outside the locked room
                 # (levelgen.py:143-151)
-                outside = jnp.any(m & ~locked_rect)
+                outside = jnp.any(m & ~locked_rect[None], axis=(1, 2))
                 any_match &= jnp.where(has_locked, outside, True)
             return any_match
 
+        split0 = jax.vmap(jax.random.split)(keys0)
+        keys, k0s = split0[:, 0], split0[:, 1]
+        descs = sample_vec(k0s, kinds8, is_fixed8)
+
         def cond(carry):
-            desc, k, n = carry
-            return (~ok(desc)) & (n < 24)
+            descs, ok, keys, nn = carry
+            return jnp.any(~ok & (nn < 24))
 
         def body(carry):
-            _, k, n = carry
-            k, sub = jax.random.split(k)
-            return (sample_desc(sub), k, n + 1)
+            descs, ok, keys, nn = carry
+            redo = ~ok & (nn < 24)
+            sp = jax.vmap(jax.random.split)(keys)
+            keys2, subs = sp[:, 0], sp[:, 1]
+            cand = sample_vec(subs, kinds8, is_fixed8)
+            descs = jnp.where(redo[:, None], cand, descs)
+            return (descs, ok_vec(descs), keys2, nn + redo)
 
-        key, k0 = jax.random.split(key)
-        desc, _, _ = jax.lax.while_loop(cond, body,
-                                        (sample_desc(k0), key, jnp.asarray(0)))
-        return desc
+        descs, _, _, _ = jax.lax.while_loop(
+            cond, body, (descs, ok_vec(descs), keys,
+                         jnp.zeros((2 * n,), jnp.int32)))
+        return descs[:n], descs[n:]
 
     # ------------------------------------------------------------------ #
 
@@ -167,12 +194,8 @@ class LevelGen(BabyAILevel):
         # sample clause kinds + descs for up to 4 slots
         ck = [self._rand_action_kind(jax.random.fold_in(keys[10], s))
               for s in range(4)]
-        d1 = [self._rand_obj(jax.random.fold_in(keys[11], s), b, params,
-                             locked_rect, has_locked, ck[s], jnp.asarray(False))
-              for s in range(4)]
-        d2 = [self._rand_obj(jax.random.fold_in(keys[12], s), b, params,
-                             locked_rect, has_locked, ck[s], jnp.asarray(True))
-              for s in range(4)]
+        d1, d2 = self._rand_objs(keys[11], keys[12], b, params, locked_rect,
+                                 has_locked, jnp.stack(ck))
 
         # operand structure
         kind_names = self.instr_kinds
@@ -205,8 +228,8 @@ class LevelGen(BabyAILevel):
             a_and=a_is_and & ~is_and,
             b_and=b_is_and,
             kinds=kinds.astype(jnp.int32),
-            d1=jnp.stack(d1) * use[:, None],
-            d2=jnp.stack(d2) * use[:, None],
+            d1=d1 * use[:, None],
+            d2=d2 * use[:, None],
             strict=jnp.zeros((4,), bool),
         )
 

@@ -406,8 +406,17 @@ class RoomGridEnv(Env):
             return self._add_distractors_oneshot(
                 b, key, params, 0 if i is None else i, 0 if j is None else j,
                 num_distractors, all_unique, enabled, color_override)
-        added, positions = [], []
-        for n in range(num_distractors):
+        if not num_distractors:
+            return b, jnp.zeros((0, 2), jnp.int32), jnp.zeros((0, 2), jnp.int32)
+
+        # The draws are inherently sequential (each consumes the builder the
+        # previous produced), but the body is iteration-invariant — a
+        # lax.scan compiles it ONCE instead of inlining `num_distractors`
+        # copies of the full place-in-room graph (18 copies dominated the
+        # LevelGen trace).  The split chain reproduces the sequential loop's
+        # RNG stream exactly.
+        def body(carry, _):
+            b, key = carry
             key, k_tc, k_i, k_j, k_pos = jax.random.split(key, 5)
             if all_unique:
                 avail = ~b["obj_mask"]
@@ -424,11 +433,12 @@ class RoomGridEnv(Env):
             b, triple, pos = self.add_object(b, k_pos, params, ri, rj,
                                              kind=kind_local, color=write_color,
                                              enabled=enabled)
-            added.append(jnp.stack([jnp.asarray(_KIND_IDS)[kind_local], color]))
-            positions.append(pos)
-        if not added:
-            return b, jnp.zeros((0, 2), jnp.int32), jnp.zeros((0, 2), jnp.int32)
-        return b, jnp.stack(added).astype(jnp.int32), jnp.stack(positions)
+            added = jnp.stack([jnp.asarray(_KIND_IDS)[kind_local], color])
+            return (b, key), (added, pos)
+
+        (b, _), (added, positions) = jax.lax.scan(
+            body, (b, key), None, length=num_distractors)
+        return b, added.astype(jnp.int32), positions
 
     def _add_distractors_oneshot(self, b: dict, key: jnp.ndarray,
                                  params: EnvParams, i, j, num: int,
