@@ -45,6 +45,15 @@ class RoomGridEnv(Env):
     # VectorEnv gates the auto-reset regeneration behind a batch-level cond
     # for such envs (see parallel/vector.py).
     expensive_generation = True
+    # RoomGrid tasks terminate on success (pick the target, open the door),
+    # so at large batch some env ends nearly every step and the batch-level
+    # cond degenerates to full-width regeneration — the pooled double-buffer
+    # keeps regeneration off the hot step path (measured on
+    # KeyCorridorS3R3: 4.3M -> see PERF.md).  Episode turnover is much
+    # slower than single-room BabyAI (ends are rare per env), so a narrow
+    # refill window suffices.
+    desynchronized_resets = True
+    pool_refill_fraction = 1 / 64
 
     def __init__(self, room_size: int = 7, num_rows: int = 3, num_cols: int = 3,
                  max_steps: int = 100, agent_view_size: int = 7, **kwargs):
