@@ -170,3 +170,30 @@ def test_gen_gif(tmp_path):
     # count is <= requested but the gif must be animated
     assert getattr(img, "n_frames", 1) >= 2
     assert img.size == (40, 40)  # 5 cells x 8 px
+
+
+def test_gen_site(tmp_path):
+    """Static doc-site generation (the sphinx-site analogue, reference
+    docs/conf.py): markdown pages -> sectioned HTML index + per-family
+    pages with tables and inline code rendered."""
+    from minigrid_tpu.tools.gen_site import build_site, md_to_html
+
+    src = tmp_path / "md"
+    src.mkdir()
+    (src / "DoorKeyEnv.md").write_text(
+        "# DoorKeyEnv\n\nA demo env.\n\n## Registered presets\n\n"
+        "| id | kwargs |\n|----|--------|\n"
+        "| `MiniGrid-DoorKey-8x8-v0` | size=8 |\n")
+    (src / "GoTo.md").write_text("# GoTo\n\n![GoTo](img/GoTo.png)\n")
+    out = tmp_path / "site"
+    n = build_site(str(src), str(out))
+    assert n == 2
+    index = (out / "index.html").read_text()
+    assert "DoorKeyEnv.html" in index and "GoTo.html" in index
+    page = (out / "DoorKeyEnv.html").read_text()
+    assert "<h1>DoorKeyEnv</h1>" in page
+    assert "<table>" in page and "<code>MiniGrid-DoorKey-8x8-v0</code>" in page
+    assert '<img alt="GoTo" src="img/GoTo.png">' in (out / "GoTo.html").read_text()
+    assert (out / "style.css").exists()
+    # escaping: raw HTML in markdown must not pass through
+    assert "<script>" not in md_to_html("hello <script>alert(1)</script>")
