@@ -195,6 +195,20 @@ class BabyAILevel(RoomGridEnv):
             )
         return self._finalize(b, instr, k_state, params)
 
+    def generate_attempt(self, key: jnp.ndarray, params: EnvParams
+                         ) -> tuple[EnvState, jnp.ndarray]:
+        """ONE unvalidated generation attempt: (state, valid).
+
+        The pooled VectorEnv refill uses this instead of :meth:`generate`:
+        under vmap the fueled retry loop runs max-attempts-across-the-window
+        full gen bodies (~4 at 512-wide refill with an 11% reject rate), so
+        dropping the loop cuts the refill to exactly one body; an invalid
+        draw keeps the slot's previous (valid) level instead
+        (parallel/vector.py best-effort refill)."""
+        key, k0, k_state = jax.random.split(key, 3)
+        b, instr, articles, valid = self.gen_level(k0, params)
+        return self._finalize(b, instr, k_state, params), valid
+
     def _finalize(self, b, instr, k_state, params) -> EnvState:
         # Verifier state + per-episode step limit (roomgrid_level.py:70-83).
         # The 8 desc-match planes are computed ONCE here, after the retry

@@ -76,7 +76,8 @@ class VectorEnv:
                  auto_reset: bool = True, final_obs: bool = False,
                  conditional_reset: bool | None = None,
                  reset_strategy: str | None = None,
-                 pool_refill: int | None = None):
+                 pool_refill: int | None = None,
+                 strict_refill: bool = False):
         self.env = env
         self.num_envs = num_envs
         self.params = params if params is not None else env.default_params
@@ -135,6 +136,14 @@ class VectorEnv:
                 f"pool_refill={pool_refill} must divide 2*num_envs={2*num_envs}"
             )
         self.pool_refill = pool_refill
+        # Best-effort refill (see the refill block in _step): one gen body
+        # per slot, invalid draws keep the slot's previous valid level.
+        # `strict_refill=True` restores the always-fresh retry-loop refill.
+        self.best_effort_refill = (
+            not strict_refill
+            and hasattr(env, "generate_attempt")
+            and reset_strategy == "pooled"
+        )
 
         params_ = self.params
         pooled = reset_strategy == "pooled" and auto_reset
@@ -153,6 +162,13 @@ class VectorEnv:
                 lambda k: env.generate(k, params_), keys,
                 batch_size=gen_chunk,
             )
+
+        def _gen_many_attempt(keys):
+            """(states, valid) from ONE unvalidated attempt per key."""
+            att = lambda k: env.generate_attempt(k, params_)  # noqa: E731
+            if keys.shape[0] <= gen_chunk:
+                return jax.vmap(att)(keys)
+            return jax.lax.map(att, keys, batch_size=gen_chunk)
 
         def _reset(key: jnp.ndarray):
             if not pooled:
@@ -245,17 +261,34 @@ class VectorEnv:
                 new_envs,
             )
 
-            # refill: C fresh iid levels (full retry loop: always valid)
-            # into the rotating contiguous window.  (Measured dead end:
-            # straight-line first-valid-of-2 candidates with un-fresh
-            # invalid slots drop the retry while_loop — 57% of the step —
-            # but the ~2.6% invalid slots make the B-wide fallback cond
-            # fire often enough to give back more than they save:
-            # 6.4M vs 7.2M steps/s on GoToRedBall at B=4096.)
+            # refill the rotating contiguous window with C fresh iid levels.
+            #
+            # Best-effort mode (default when the env exposes
+            # `generate_attempt`): ONE unvalidated gen body; an invalid draw
+            # (~11% for BabyAI reachability) keeps the slot's PREVIOUS level
+            # and still marks the slot fresh — the served episode replays an
+            # earlier valid draw, so the per-episode level distribution is
+            # exactly the valid-conditioned one; only independence across
+            # episodes weakens at the reject rate.  Under vmap the full
+            # retry loop costs max-attempts-across-the-window gen bodies
+            # (~4 at 512-wide refill), the single biggest slice of the
+            # BabyAI step.  (Measured dead end: first-valid-of-2 candidates
+            # with un-fresh invalid slots — the ~2.6% pool misses make the
+            # B-wide fallback cond fire often enough to give back more than
+            # they save: 6.4M vs 7.2M steps/s on GoToRedBall at B=4096.
+            # Keeping the old level instead of un-freshening the slot is
+            # what makes the loop-free refill win.)
             key, k = jax.random.split(state.key)
-            cand = _gen_many(jax.random.split(k, C))
-            cand_valid = jnp.ones((C,), bool)
             off = (state.tick * C) % (2 * B)
+            if self.best_effort_refill:
+                cand, ok = _gen_many_attempt(jax.random.split(k, C))
+                old = jax.tree_util.tree_map(
+                    lambda p: jax.lax.dynamic_slice_in_dim(p, off, C, axis=0),
+                    pool)
+                cand = tree_select(ok, cand, old)
+            else:
+                cand = _gen_many(jax.random.split(k, C))
+            cand_valid = jnp.ones((C,), bool)
 
             def write(p, c):
                 return jax.lax.dynamic_update_slice_in_dim(p, c, off, axis=0)

@@ -88,6 +88,11 @@ def build_pages(with_images: bool = False, out_dir: str = "docs/environments",
             if not os.path.exists(gif_path):
                 gen_gif(ids[0], gif_path, seed=seed)
             lines += [f"![{name} rollout](gif/{name}.gif)", ""]
+        if with_images or with_gifs:
+            # every family compiles its own reset/step/render programs and
+            # never reuses another's; dropping them keeps a full 72-family
+            # media build from exhausting the jit cache (LLVM OOMs)
+            jax.clear_caches()
 
         env = minigrid_tpu.make(ids[0])
         try:

@@ -147,3 +147,46 @@ def test_pooled_levels_match_direct_generation_distribution():
 
     chi2_same([key_cell(g) for g in dg], [key_cell(g) for g in pg],
               "pooled-vs-direct key cell", alpha=1e-5)
+
+
+def test_pooled_best_effort_refill():
+    """Best-effort refill (BabyAI): one gen body per refill slot; an invalid
+    draw keeps the slot's previous VALID level (still marked fresh), so
+    served episodes are always real levels even at a forced 50% reject
+    rate."""
+    from minigrid_tpu.babyai.goto import GoToRedBallGrey
+    from minigrid_tpu.core import constants as C
+
+    class Flaky(GoToRedBallGrey):
+        """Rejects half of otherwise-valid draws."""
+
+        def gen_level(self, key, params):
+            b, instr, articles, valid = super().gen_level(key, params)
+            coin = jax.random.bernoulli(jax.random.fold_in(key, 99))
+            return b, instr, articles, valid & coin
+
+    env = Flaky()
+    venv = VectorEnv(env, num_envs=64, reset_strategy="pooled",
+                     pool_refill=16)
+    assert venv.best_effort_refill
+    obs, state = venv.reset(jax.random.PRNGKey(3))
+    key = jax.random.PRNGKey(4)
+    served = 0
+    for t in range(64):
+        key, k = jax.random.split(key)
+        a = jax.random.randint(k, (64,), 0, env.num_actions, dtype=jnp.int32)
+        obs, state, r, te, tr, _ = venv.step(state, a)
+        done = np.asarray(te | tr)
+        if done.any():
+            g = np.asarray(state.envs.grid)[done]
+            red_ball = ((g[..., 0] == C.OBJECT_TO_IDX["ball"])
+                        & (g[..., 1] == C.COLOR_TO_IDX["red"]))
+            assert red_ball.reshape(g.shape[0], -1).any(axis=1).all()
+            assert (np.asarray(state.envs.step_count)[done] == 0).all()
+            served += int(done.sum())
+    assert served > 20  # episodes actually turned over through the pool
+
+    # strict mode restores the retry-loop refill
+    venv2 = VectorEnv(env, num_envs=64, reset_strategy="pooled",
+                      pool_refill=16, strict_refill=True)
+    assert not venv2.best_effort_refill
