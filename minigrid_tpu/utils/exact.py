@@ -18,13 +18,19 @@ state lowering.  From there the tensor ``step`` kernels carry the episode
 reset-through-trajectory seed parity.
 
 Supported families: Empty, DoorKey, LavaGap, FourRooms, Crossing (both
-obstacle types).  This is a host-side tool for parity/eval, not a hot path.
+obstacle types), DistShift, GoToDoor, Fetch, GoToObject, PutNear,
+DynamicObstacles, RedBlueDoor, Memory.  Families whose tasks carry state
+beyond the grid (target descriptors, obstacle lists, success cells) return
+the same ``mission``/``extra`` payloads the on-device generator builds, so
+the tensor ``step`` kernels continue the episode unchanged.  This is a
+host-side tool for parity/eval, not a hot path.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from minigrid_tpu.core import constants as C
@@ -236,12 +242,225 @@ def _gen_crossing(env, g: _HostGrid) -> None:
         g.put(i, j, _EMPTY)
 
 
+def _gen_distshift(env, g: _HostGrid) -> None:
+    """envs/distshift.py:96-121."""
+    g.wall_rect(0, 0, g.w, g.h)
+    g.put(g.w - 2, 1, _GOAL)
+    for i in range(g.w - 6):
+        g.put(3 + i, 1, _LAVA)
+        g.put(3 + i, env.strip2_row, _LAVA)
+    if env.agent_start_pos is not None:
+        g.agent_pos = tuple(env.agent_start_pos)
+        g.agent_dir = int(env.agent_start_dir)
+    else:
+        g.place_agent()
+
+
+_SORTED_COLORS = sorted(C.COLOR_TO_IDX)  # == reference COLOR_NAMES
+
+
+def _rand_elem(g: _HostGrid, lst):
+    """MiniGridEnv._rand_elem (minigrid_env.py:267-274)."""
+    return lst[g.rand_int(0, len(lst))]
+
+
+def _door(color_id: int, state: str = "closed") -> np.ndarray:
+    return np.asarray([C.OBJECT_TO_IDX["door"], color_id,
+                       C.STATE_TO_IDX[state]], np.uint8)
+
+
+def _obj(type_name: str, color_id: int) -> np.ndarray:
+    return np.asarray([C.OBJECT_TO_IDX[type_name], color_id, 0], np.uint8)
+
+
+def _gen_gotodoor(env, g: _HostGrid) -> dict:
+    """envs/gotodoor.py:92-126 — incl. the distinct-color rejection loop."""
+    w = g.rand_int(5, g.w + 1)
+    h = g.rand_int(5, g.h + 1)
+    g.wall_rect(0, 0, w, h)
+    door_pos = [(g.rand_int(2, w - 2), 0), (g.rand_int(2, w - 2), h - 1),
+                (0, g.rand_int(2, h - 2)), (w - 1, g.rand_int(2, h - 2))]
+    door_colors: list[str] = []
+    while len(door_colors) < 4:
+        color = _rand_elem(g, _SORTED_COLORS)
+        if color in door_colors:
+            continue
+        door_colors.append(color)
+    for pos, cname in zip(door_pos, door_colors):
+        g.put(pos[0], pos[1], _door(C.COLOR_TO_IDX[cname]))
+    g.place_agent(size=(w, h))
+    tgt = g.rand_int(0, 4)
+    return {
+        "mission": np.asarray(
+            [C.COLOR_TO_IDX[door_colors[tgt]], 0, 0, 0], np.int32),
+        "extra": np.asarray(door_pos[tgt], np.int32),
+    }
+
+
+def _gen_fetch(env, g: _HostGrid) -> dict:
+    """envs/fetch.py:108-159 — type-then-color draw per object, duplicates
+    allowed; 5-way mission syntax draw after the target choice."""
+    g.horz_wall(0, 0)
+    g.horz_wall(0, g.h - 1)
+    g.vert_wall(0, 0)
+    g.vert_wall(g.w - 1, 0)
+    objs = []
+    for _ in range(env.numObjs):
+        t = _rand_elem(g, ["key", "ball"])
+        cname = _rand_elem(g, _SORTED_COLORS)
+        g.place_obj(_obj(t, C.COLOR_TO_IDX[cname]))
+        objs.append((t, cname))
+    g.place_agent()
+    t, cname = objs[g.rand_int(0, len(objs))]
+    syntax = g.rand_int(0, 5)
+    tgt = np.asarray([C.OBJECT_TO_IDX[t], C.COLOR_TO_IDX[cname]], np.int32)
+    return {
+        "mission": np.asarray([syntax, tgt[1], tgt[0], 0], np.int32),
+        "extra": tgt,
+    }
+
+
+def _gen_gotoobject(env, g: _HostGrid) -> dict:
+    """envs/gotoobject.py:43-91 — distinct (type, color) rejection loop."""
+    g.wall_rect(0, 0, g.w, g.h)
+    objs, obj_pos = [], []
+    while len(objs) < env.numObjs:
+        t = _rand_elem(g, ["key", "ball", "box"])
+        cname = _rand_elem(g, _SORTED_COLORS)
+        if (t, cname) in objs:
+            continue
+        pos = g.place_obj(_obj(t, C.COLOR_TO_IDX[cname]))
+        objs.append((t, cname))
+        obj_pos.append(pos)
+    g.place_agent()
+    i = g.rand_int(0, len(objs))
+    t, cname = objs[i]
+    return {
+        "mission": np.asarray(
+            [C.COLOR_TO_IDX[cname], C.OBJECT_TO_IDX[t], 0, 0], np.int32),
+        "extra": np.asarray(obj_pos[i], np.int32),
+    }
+
+
+def _gen_putnear(env, g: _HostGrid) -> dict:
+    """envs/putnear.py:95-173 — near_obj reject_fn + retry target draw."""
+    g.horz_wall(0, 0)
+    g.horz_wall(0, g.h - 1)
+    g.vert_wall(0, 0)
+    g.vert_wall(g.w - 1, 0)
+    objs, obj_pos = [], []
+
+    def near_obj(p1):
+        return any(abs(p1[0] - p2[0]) <= 1 and abs(p1[1] - p2[1]) <= 1
+                   for p2 in obj_pos)
+
+    while len(objs) < env.numObjs:
+        t = _rand_elem(g, ["key", "ball", "box"])
+        cname = _rand_elem(g, _SORTED_COLORS)
+        if (t, cname) in objs:
+            continue
+        pos = g.place_obj(_obj(t, C.COLOR_TO_IDX[cname]), reject_fn=near_obj)
+        objs.append((t, cname))
+        obj_pos.append(pos)
+    g.place_agent()
+    mv = g.rand_int(0, len(objs))
+    while True:
+        tg = g.rand_int(0, len(objs))
+        if tg != mv:
+            break
+    mt, mc = objs[mv]
+    tt, tc = objs[tg]
+    return {
+        "mission": np.asarray(
+            [C.COLOR_TO_IDX[mc], C.OBJECT_TO_IDX[mt],
+             C.COLOR_TO_IDX[tc], C.OBJECT_TO_IDX[tt]], np.int32),
+        "extra": {
+            "move": np.asarray(
+                [C.OBJECT_TO_IDX[mt], C.COLOR_TO_IDX[mc]], np.int32),
+            "target_pos": np.asarray(obj_pos[tg], np.int32),
+        },
+    }
+
+
+def _gen_dynamicobstacles(env, g: _HostGrid) -> dict:
+    """envs/dynamicobstacles.py:100-133."""
+    g.wall_rect(0, 0, g.w, g.h)
+    g.put(g.w - 2, g.h - 2, _GOAL)
+    if env.agent_start_pos is not None:
+        g.agent_pos = tuple(env.agent_start_pos)
+        g.agent_dir = int(env.agent_start_dir)
+    else:
+        g.place_agent()
+    positions = [g.place_obj(_obj("ball", C.COLOR_TO_IDX["blue"]))
+                 for _ in range(env.n_obstacles)]
+    return {"extra": np.asarray(positions, np.int32).reshape(-1, 2)}
+
+
+def _gen_redbluedoor(env, g: _HostGrid) -> dict:
+    """envs/redbluedoors.py:79-100."""
+    s = env.size
+    g.wall_rect(0, 0, 2 * s, s)
+    g.wall_rect(s // 2, 0, s, s)
+    g.place_agent(top=(s // 2, 0), size=(s, s))
+    red_pos = (s // 2, g.rand_int(1, s - 1))
+    g.put(red_pos[0], red_pos[1], _door(C.COLOR_TO_IDX["red"]))
+    blue_pos = (s // 2 + s - 1, g.rand_int(1, s - 1))
+    g.put(blue_pos[0], blue_pos[1], _door(C.COLOR_TO_IDX["blue"]))
+    return {"extra": {"red_pos": np.asarray(red_pos, np.int32),
+                      "blue_pos": np.asarray(blue_pos, np.int32)}}
+
+
+def _gen_memory(env, g: _HostGrid) -> dict:
+    """envs/memory.py:95-151."""
+    g.horz_wall(0, 0)
+    g.horz_wall(0, g.h - 1)
+    g.vert_wall(0, 0)
+    g.vert_wall(g.w - 1, 0)
+    mid = g.h // 2
+    upper, lower = mid - 2, mid + 2
+    hallway_end = g.rand_int(4, g.w - 2) if env.random_length else g.w - 3
+    for i in range(1, 5):
+        g.put(i, upper, _WALL)
+        g.put(i, lower, _WALL)
+    g.put(4, upper + 1, _WALL)
+    g.put(4, lower - 1, _WALL)
+    for i in range(5, hallway_end):
+        g.put(i, upper + 1, _WALL)
+        g.put(i, lower - 1, _WALL)
+    for j in range(g.h):
+        if j != mid:
+            g.put(hallway_end, j, _WALL)
+        g.put(hallway_end + 2, j, _WALL)
+    g.agent_pos = (g.rand_int(1, hallway_end + 1), mid)
+    g.agent_dir = 0
+    green = C.COLOR_TO_IDX["green"]
+    start = _rand_elem(g, ["key", "ball"])
+    g.put(1, mid - 1, _obj(start, green))
+    top, bot = _rand_elem(g, [("ball", "key"), ("key", "ball")])
+    g.put(hallway_end + 1, mid - 2, _obj(top, green))
+    g.put(hallway_end + 1, mid + 2, _obj(bot, green))
+    if start == top:
+        success, failure = (hallway_end + 1, mid - 1), (hallway_end + 1, mid + 1)
+    else:
+        success, failure = (hallway_end + 1, mid + 1), (hallway_end + 1, mid - 1)
+    return {"extra": {"success_pos": np.asarray(success, np.int32),
+                      "failure_pos": np.asarray(failure, np.int32)}}
+
+
 _GENERATORS = {
     "Empty": _gen_empty,
     "DoorKey": _gen_doorkey,
     "LavaGap": _gen_lavagap,
     "FourRooms": _gen_fourrooms,
     "Crossing": _gen_crossing,
+    "DistShift": _gen_distshift,
+    "GoToDoor": _gen_gotodoor,
+    "Fetch": _gen_fetch,
+    "GoToObject": _gen_gotoobject,
+    "PutNear": _gen_putnear,
+    "DynamicObstacles": _gen_dynamicobstacles,
+    "RedBlueDoor": _gen_redbluedoor,
+    "Memory": _gen_memory,
 }
 
 
@@ -268,14 +487,20 @@ def reset_exact(env, seed: int, params=None):
             f" supported: {sorted(_GENERATORS)}"
         ) from None
     g = _HostGrid(_np_random(seed), params.width, params.height)
-    gen(env, g)
+    payload = gen(env, g) or {}
     assert (g.agent_pos[0] >= 0 and g.agent_pos[1] >= 0
             and g.agent_dir >= 0)
+    kw = {}
+    if "mission" in payload:
+        kw["mission"] = jnp.asarray(payload["mission"])
+    if "extra" in payload:
+        kw["extra"] = jax.tree_util.tree_map(jnp.asarray, payload["extra"])
     state = base_state(
         jnp.asarray(g.grid),
         jnp.asarray(g.agent_pos, jnp.int32),
         jnp.asarray(g.agent_dir, jnp.int32),
         rng=_fold_seed(seed),
         has_boxes=False,
+        **kw,
     )
     return env.observation(state, params), state

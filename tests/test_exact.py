@@ -43,11 +43,30 @@ def _case(name):
                                       fromlist=["Wall"]).Wall),
             lambda: E.CrossingEnv(size=9, num_crossings=2,
                                   obstacle_type="wall")),
+        "distshift": (lambda: R.DistShiftEnv(strip2_row=5),
+                      lambda: E.DistShiftEnv(strip2_row=5)),
+        "gotodoor": (lambda: R.GoToDoorEnv(size=6),
+                     lambda: E.GoToDoorEnv(size=6)),
+        "fetch": (lambda: R.FetchEnv(size=8, numObjs=3),
+                  lambda: E.FetchEnv(size=8, numObjs=3)),
+        "gotoobject": (lambda: R.GoToObjectEnv(size=6, numObjs=2),
+                       lambda: E.GoToObjectEnv(size=6, numObjs=2)),
+        "putnear": (lambda: R.PutNearEnv(size=6, numObjs=2),
+                    lambda: E.PutNearEnv(size=6, numObjs=2)),
+        "dynamicobstacles": (
+            lambda: R.DynamicObstaclesEnv(size=8, agent_start_pos=None),
+            lambda: E.DynamicObstaclesEnv(size=8, agent_start_pos=None)),
+        "redbluedoor": (lambda: R.RedBlueDoorEnv(size=6),
+                        lambda: E.RedBlueDoorEnv(size=6)),
+        "memory": (lambda: R.MemoryEnv(size=13, random_length=True),
+                   lambda: E.MemoryEnv(size=13, random_length=True)),
     }[name]
 
 
 CASES = ["empty_random", "doorkey", "lavagap", "fourrooms",
-         "crossing_lava", "crossing_wall"]
+         "crossing_lava", "crossing_wall", "distshift", "gotodoor",
+         "fetch", "gotoobject", "putnear", "dynamicobstacles",
+         "redbluedoor", "memory"]
 
 
 @requires_reference
@@ -70,7 +89,9 @@ def test_exact_reset_matches_reference(case, seed):
 
 
 @requires_reference
-@pytest.mark.parametrize("case", ["doorkey", "crossing_lava", "fourrooms"])
+@pytest.mark.parametrize("case", ["doorkey", "crossing_lava", "fourrooms",
+                                  "gotodoor", "fetch", "memory",
+                                  "redbluedoor", "putnear"])
 @pytest.mark.parametrize("seed", [0, 11])
 def test_exact_seed_trajectory_parity(case, seed):
     """From an integer seed only: exact reset, then lockstep trajectory —
@@ -99,6 +120,6 @@ def test_exact_seed_trajectory_parity(case, seed):
 def test_exact_unsupported_raises():
     import minigrid_tpu
 
-    env = minigrid_tpu.make("MiniGrid-MemoryS13-v0")
+    env = minigrid_tpu.make("MiniGrid-MultiRoom-N6-v0")
     with pytest.raises(NotImplementedError):
         reset_exact(env, 0)
