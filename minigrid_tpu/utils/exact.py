@@ -19,7 +19,8 @@ reset-through-trajectory seed parity.
 
 Supported families: Empty, DoorKey, LavaGap, FourRooms, Crossing (both
 obstacle types), DistShift, GoToDoor, Fetch, GoToObject, PutNear,
-DynamicObstacles, RedBlueDoor, Memory.  Families whose tasks carry state
+DynamicObstacles, RedBlueDoor, Memory, LockedRoom, MultiRoom (the full
+recursive chain placement).  Families whose tasks carry state
 beyond the grid (target descriptors, obstacle lists, success cells) return
 the same ``mission``/``extra`` payloads the on-device generator builds, so
 the tensor ``step`` kernels continue the episode unchanged.  This is a
@@ -447,6 +448,137 @@ def _gen_memory(env, g: _HostGrid) -> dict:
                       "failure_pos": np.asarray(failure, np.int32)}}
 
 
+def _gen_lockedroom(env, g: _HostGrid) -> dict:
+    """envs/lockedroom.py:94-165 — draw-and-remove color order, retry key
+    room, rand_pos without emptiness checks."""
+    w, h = g.w, g.h
+    g.wall_rect(0, 0, w, h)
+    lw, rw = w // 2 - 2, w // 2 + 2
+    g.vert_wall(lw, 0)
+    g.vert_wall(rw, 0)
+    rooms = []
+    for n in range(3):
+        j = n * (h // 3)
+        g.horz_wall(0, j, lw)
+        g.horz_wall(rw, j, w - rw)
+        room_w, room_h = lw + 1, h // 3 + 1
+        rooms.append(((0, j), (room_w, room_h), (lw, j + 3)))
+        rooms.append(((rw, j), (room_w, room_h), (rw, j + 3)))
+
+    def rand_pos(room):
+        (tx, ty), (sx, sy), _ = room
+        return (g.rand_int(tx + 1, tx + sx - 1),
+                g.rand_int(ty + 1, ty + sy - 1))
+
+    locked = g.rand_int(0, 6)  # _rand_elem(rooms)
+    gx, gy = rand_pos(rooms[locked])
+    g.put(gx, gy, _GOAL)
+
+    colors = set(_SORTED_COLORS)
+    room_colors = []
+    for r in range(6):
+        cname = _rand_elem(g, sorted(colors))
+        colors.remove(cname)
+        room_colors.append(cname)
+        state = "locked" if r == locked else "closed"
+        dx, dy = rooms[r][2]
+        g.put(dx, dy, _door(C.COLOR_TO_IDX[cname], state))
+
+    while True:
+        kr = g.rand_int(0, 6)
+        if kr != locked:
+            break
+    kx, ky = rand_pos(rooms[kr])
+    g.put(kx, ky, _obj("key", C.COLOR_TO_IDX[room_colors[locked]]))
+    g.place_agent(top=(lw, 0), size=(rw - lw, h))
+    return {"mission": np.asarray(
+        [C.COLOR_TO_IDX[room_colors[locked]], C.COLOR_TO_IDX[room_colors[kr]],
+         0, 0], np.int32)}
+
+
+def _gen_multiroom(env, g: _HostGrid) -> None:
+    """envs/multiroom.py:101-281 — the recursive chain placement replayed
+    literally: per-attempt entry position, per-depth size/offset draws, the
+    8-try exit-wall loop, best-of restart, and the reference's
+    rand_int(0, width-2) for BOTH entry coordinates (:112)."""
+    w, h = g.w, g.h
+
+    def place_room(num_left, room_list, min_sz, max_sz, entry_wall, entry_pos):
+        size_x = g.rand_int(min_sz, max_sz + 1)
+        size_y = g.rand_int(min_sz, max_sz + 1)
+        if not room_list:
+            top_x, top_y = entry_pos
+        elif entry_wall == 0:
+            top_x = entry_pos[0] - size_x + 1
+            top_y = g.rand_int(entry_pos[1] - size_y + 2, entry_pos[1])
+        elif entry_wall == 1:
+            top_x = g.rand_int(entry_pos[0] - size_x + 2, entry_pos[0])
+            top_y = entry_pos[1] - size_y + 1
+        elif entry_wall == 2:
+            top_x = entry_pos[0]
+            top_y = g.rand_int(entry_pos[1] - size_y + 2, entry_pos[1])
+        else:
+            top_x = g.rand_int(entry_pos[0] - size_x + 2, entry_pos[0])
+            top_y = entry_pos[1]
+        if top_x < 0 or top_y < 0:
+            return False
+        if top_x + size_x > w or top_y + size_y >= h:
+            return False
+        for (rx, ry), (rsx, rsy), _ in room_list[:-1]:
+            non_overlap = (top_x + size_x < rx or rx + rsx <= top_x
+                           or top_y + size_y < ry or ry + rsy <= top_y)
+            if not non_overlap:
+                return False
+        room_list.append(((top_x, top_y), (size_x, size_y), entry_pos))
+        if num_left == 1:
+            return True
+        for _ in range(8):
+            wall_set = sorted({0, 1, 2, 3} - {entry_wall})
+            exit_wall = _rand_elem(g, wall_set)
+            if exit_wall == 0:
+                exit_pos = (top_x + size_x - 1,
+                            top_y + g.rand_int(1, size_y - 1))
+            elif exit_wall == 1:
+                exit_pos = (top_x + g.rand_int(1, size_x - 1),
+                            top_y + size_y - 1)
+            elif exit_wall == 2:
+                exit_pos = (top_x, top_y + g.rand_int(1, size_y - 1))
+            else:
+                exit_pos = (top_x + g.rand_int(1, size_x - 1), top_y)
+            if place_room(num_left - 1, room_list, min_sz, max_sz,
+                          (exit_wall + 2) % 4, exit_pos):
+                break
+        return True
+
+    num_rooms = g.rand_int(env.minNumRooms, env.maxNumRooms + 1)
+    room_list: list = []
+    while len(room_list) < num_rooms:
+        cur: list = []
+        entry_pos = (g.rand_int(0, w - 2), g.rand_int(0, w - 2))
+        place_room(num_rooms, cur, 4, env.maxRoomSize, 2, entry_pos)
+        if len(cur) > len(room_list):
+            room_list = cur
+
+    prev_color = None
+    for idx, ((tx, ty), (sx, sy), entry_pos) in enumerate(room_list):
+        for i in range(sx):
+            g.put(tx + i, ty, _WALL)
+            g.put(tx + i, ty + sy - 1, _WALL)
+        for j in range(sy):
+            g.put(tx, ty + j, _WALL)
+            g.put(tx + sx - 1, ty + j, _WALL)
+        if idx > 0:
+            door_colors = set(_SORTED_COLORS)
+            if prev_color:
+                door_colors.remove(prev_color)
+            cname = _rand_elem(g, sorted(door_colors))
+            g.put(entry_pos[0], entry_pos[1], _door(C.COLOR_TO_IDX[cname]))
+            prev_color = cname
+
+    g.place_agent(room_list[0][0], room_list[0][1])
+    g.place_obj(_GOAL, room_list[-1][0], room_list[-1][1])
+
+
 _GENERATORS = {
     "Empty": _gen_empty,
     "DoorKey": _gen_doorkey,
@@ -461,6 +593,8 @@ _GENERATORS = {
     "DynamicObstacles": _gen_dynamicobstacles,
     "RedBlueDoor": _gen_redbluedoor,
     "Memory": _gen_memory,
+    "LockedRoom": _gen_lockedroom,
+    "MultiRoom": _gen_multiroom,
 }
 
 

@@ -60,13 +60,17 @@ def _case(name):
                         lambda: E.RedBlueDoorEnv(size=6)),
         "memory": (lambda: R.MemoryEnv(size=13, random_length=True),
                    lambda: E.MemoryEnv(size=13, random_length=True)),
+        "lockedroom": (lambda: R.LockedRoomEnv(size=19),
+                       lambda: E.LockedRoomEnv(size=19)),
+        "multiroom": (lambda: R.MultiRoomEnv(minNumRooms=4, maxNumRooms=6),
+                      lambda: E.MultiRoomEnv(minNumRooms=4, maxNumRooms=6)),
     }[name]
 
 
 CASES = ["empty_random", "doorkey", "lavagap", "fourrooms",
          "crossing_lava", "crossing_wall", "distshift", "gotodoor",
          "fetch", "gotoobject", "putnear", "dynamicobstacles",
-         "redbluedoor", "memory"]
+         "redbluedoor", "memory", "lockedroom", "multiroom"]
 
 
 @requires_reference
@@ -91,7 +95,8 @@ def test_exact_reset_matches_reference(case, seed):
 @requires_reference
 @pytest.mark.parametrize("case", ["doorkey", "crossing_lava", "fourrooms",
                                   "gotodoor", "fetch", "memory",
-                                  "redbluedoor", "putnear"])
+                                  "redbluedoor", "putnear", "lockedroom",
+                                  "multiroom"])
 @pytest.mark.parametrize("seed", [0, 11])
 def test_exact_seed_trajectory_parity(case, seed):
     """From an integer seed only: exact reset, then lockstep trajectory —
@@ -120,6 +125,6 @@ def test_exact_seed_trajectory_parity(case, seed):
 def test_exact_unsupported_raises():
     import minigrid_tpu
 
-    env = minigrid_tpu.make("MiniGrid-MultiRoom-N6-v0")
+    env = minigrid_tpu.make("MiniGrid-KeyCorridorS3R3-v0")
     with pytest.raises(NotImplementedError):
         reset_exact(env, 0)
