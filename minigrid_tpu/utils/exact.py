@@ -448,6 +448,233 @@ def _gen_memory(env, g: _HostGrid) -> dict:
                       "failure_pos": np.asarray(failure, np.int32)}}
 
 
+class _HostRoomGrid:
+    """Numpy mirror of the reference RoomGrid builder
+    (core/roomgrid.py:89-438): the room lattice with per-wall door
+    positions drawn in _gen_grid order, placement with reject_next_to,
+    door/object adders, and the connect_all rejection loop — all consuming
+    the same np_random stream as the reference."""
+
+    def __init__(self, g: _HostGrid, room_size: int, rows: int, cols: int):
+        self.g = g
+        self.room_size, self.rows, self.cols = room_size, rows, cols
+        s = room_size
+        # room bookkeeping: top, door_pos[4], doors[4], neighbors[4], locked
+        self.top = {}
+        self.door_pos = {}
+        self.doors = {}
+        self.neighbors = {}
+        self.locked = {}
+        self.objs: list[tuple[str, str]] = []
+        for j in range(rows):
+            for i in range(cols):
+                self.top[i, j] = (i * (s - 1), j * (s - 1))
+                g.wall_rect(i * (s - 1), j * (s - 1), s, s)
+                self.door_pos[i, j] = [None] * 4
+                self.doors[i, j] = [None] * 4
+                self.neighbors[i, j] = [None] * 4
+                self.locked[i, j] = False
+        for j in range(rows):
+            for i in range(cols):
+                tx, ty = self.top[i, j]
+                x_l, y_l = tx + 1, ty + 1
+                x_m, y_m = tx + s - 1, ty + s - 1
+                if i < cols - 1:
+                    self.neighbors[i, j][0] = (i + 1, j)
+                    self.door_pos[i, j][0] = (x_m, g.rand_int(y_l, y_m))
+                if j < rows - 1:
+                    self.neighbors[i, j][1] = (i, j + 1)
+                    self.door_pos[i, j][1] = (g.rand_int(x_l, x_m), y_m)
+                if i > 0:
+                    self.neighbors[i, j][2] = (i - 1, j)
+                    self.door_pos[i, j][2] = self.door_pos[i - 1, j][0]
+                if j > 0:
+                    self.neighbors[i, j][3] = (i, j - 1)
+                    self.door_pos[i, j][3] = self.door_pos[i, j - 1][1]
+        g.agent_pos = ((cols // 2) * (s - 1) + s // 2,
+                       (rows // 2) * (s - 1) + s // 2)
+        g.agent_dir = 0
+
+    # -- placement (roomgrid.py:181-228) -----------------------------------
+    def place_in_room(self, i, j, triple):
+        g = self.g
+        tx, ty = self.top[i, j]
+
+        def reject_next_to(pos):
+            sx, sy = g.agent_pos
+            return abs(sx - pos[0]) + abs(sy - pos[1]) < 2
+
+        return g.place_obj(triple, top=(tx, ty),
+                           size=(self.room_size, self.room_size),
+                           reject_fn=reject_next_to)
+
+    def add_object(self, i, j, kind=None, color=None):
+        g = self.g
+        if kind is None:
+            kind = _rand_elem(g, ["key", "ball", "box"])
+        if color is None:
+            color = _rand_elem(g, _SORTED_COLORS)
+        pos = self.place_in_room(i, j, _obj(kind, C.COLOR_TO_IDX[color]))
+        self.objs.append((kind, color))
+        return (kind, color), pos
+
+    def add_door(self, i, j, door_idx=None, color=None, locked=None):
+        g = self.g
+        if door_idx is None:
+            while True:
+                door_idx = g.rand_int(0, 4)
+                if (self.neighbors[i, j][door_idx]
+                        and self.doors[i, j][door_idx] is None):
+                    break
+        if color is None:
+            color = _rand_elem(g, _SORTED_COLORS)
+        if locked is None:
+            locked = g.rand_int(0, 2) == 0  # _rand_bool
+        self.locked[i, j] = locked
+        pos = self.door_pos[i, j][door_idx]
+        g.put(pos[0], pos[1],
+              _door(C.COLOR_TO_IDX[color], "locked" if locked else "closed"))
+        self.doors[i, j][door_idx] = color
+        ni, nj = self.neighbors[i, j][door_idx]
+        self.doors[ni, nj][(door_idx + 2) % 4] = color
+        return color, pos
+
+    def remove_wall(self, i, j, wall_idx):
+        tx, ty = self.top[i, j]
+        s = self.room_size
+        if wall_idx == 0:
+            for k in range(1, s - 1):
+                self.g.put(tx + s - 1, ty + k, _EMPTY)
+        elif wall_idx == 1:
+            for k in range(1, s - 1):
+                self.g.put(tx + k, ty + s - 1, _EMPTY)
+        elif wall_idx == 2:
+            for k in range(1, s - 1):
+                self.g.put(tx, ty + k, _EMPTY)
+        else:
+            for k in range(1, s - 1):
+                self.g.put(tx + k, ty, _EMPTY)
+        self.doors[i, j][wall_idx] = True
+        ni, nj = self.neighbors[i, j][wall_idx]
+        self.doors[ni, nj][(wall_idx + 2) % 4] = True
+
+    def place_agent(self, i=None, j=None, rand_dir=True):
+        g = self.g
+        if i is None:
+            i = g.rand_int(0, self.cols)
+        if j is None:
+            j = g.rand_int(0, self.rows)
+        tx, ty = self.top[i, j]
+        while True:
+            g.place_agent(top=(tx, ty),
+                          size=(self.room_size, self.room_size),
+                          rand_dir=rand_dir)
+            dx, dy = [(1, 0), (0, 1), (-1, 0), (0, -1)][g.agent_dir]
+            fx, fy = g.agent_pos[0] + dx, g.agent_pos[1] + dy
+            front = g.grid[fx, fy]
+            if (front == _EMPTY).all() or front[0] == _WALL[0]:
+                break
+        return g.agent_pos
+
+    def room_from_pos(self, x, y):
+        s = self.room_size
+        return (x // (s - 1), y // (s - 1))
+
+    def connect_all(self):
+        """roomgrid.py:336-394 — the literal rejection loop."""
+        g = self.g
+        start = self.room_from_pos(*g.agent_pos)
+        start = (min(start[0], self.cols - 1), min(start[1], self.rows - 1))
+        while True:
+            reach, stack = set(), [start]
+            while stack:
+                room = stack.pop()
+                if room in reach:
+                    continue
+                reach.add(room)
+                for k in range(4):
+                    if self.doors[room][k]:
+                        stack.append(self.neighbors[room][k])
+            if len(reach) == self.rows * self.cols:
+                break
+            i = g.rand_int(0, self.cols)
+            j = g.rand_int(0, self.rows)
+            k = g.rand_int(0, 4)
+            if not self.door_pos[i, j][k] or self.doors[i, j][k]:
+                continue
+            if self.locked[i, j] or self.locked[self.neighbors[i, j][k]]:
+                continue
+            color = _rand_elem(g, _SORTED_COLORS)
+            self.add_door(i, j, k, color, False)
+
+    def add_distractors(self, i=None, j=None, num_distractors=10,
+                        all_unique=True):
+        """roomgrid.py:396-438 — color-then-type draw order."""
+        g = self.g
+        dists = []
+        while len(dists) < num_distractors:
+            color = _rand_elem(g, _SORTED_COLORS)
+            kind = _rand_elem(g, ["key", "ball", "box"])
+            if all_unique and (kind, color) in self.objs:
+                continue
+            ri = g.rand_int(0, self.cols) if i is None else i
+            rj = g.rand_int(0, self.rows) if j is None else j
+            _, pos = self.add_object(ri, rj, kind, color)
+            dists.append(((kind, color), pos))
+        return dists
+
+
+def _gen_keycorridor(env, g: _HostGrid) -> dict:
+    """envs/keycorridor.py:99-127."""
+    rg = _HostRoomGrid(g, env.room_size, env.num_rows, 3)
+    for j in range(1, env.num_rows):
+        rg.remove_wall(1, j, 3)
+    room_idx = g.rand_int(0, env.num_rows)
+    door_color, _ = rg.add_door(2, room_idx, 2, locked=True)
+    (kind, color), _ = rg.add_object(2, room_idx, kind=env.obj_type)
+    rg.add_object(0, g.rand_int(0, env.num_rows), "key", door_color)
+    rg.place_agent(1, env.num_rows // 2)
+    rg.connect_all()
+    tgt = np.asarray([C.OBJECT_TO_IDX[kind], C.COLOR_TO_IDX[color]], np.int32)
+    return {"mission": np.asarray([tgt[1], tgt[0], 0, 0], np.int32),
+            "extra": tgt}
+
+
+def _gen_unlock(env, g: _HostGrid) -> dict:
+    """envs/unlock.py:75-87."""
+    rg = _HostRoomGrid(g, env.room_size, 1, 2)
+    door_color, pos = rg.add_door(0, 0, 0, locked=True)
+    rg.add_object(0, 0, "key", door_color)
+    rg.place_agent(0, 0)
+    return {"extra": np.asarray(pos, np.int32)}
+
+
+def _gen_unlockpickup(env, g: _HostGrid) -> dict:
+    """envs/unlockpickup.py:77-93."""
+    rg = _HostRoomGrid(g, env.room_size, 1, 2)
+    (kind, color), _ = rg.add_object(1, 0, kind="box")
+    door_color, _ = rg.add_door(0, 0, 0, locked=True)
+    rg.add_object(0, 0, "key", door_color)
+    rg.place_agent(0, 0)
+    tgt = np.asarray([C.OBJECT_TO_IDX[kind], C.COLOR_TO_IDX[color]], np.int32)
+    return {"mission": np.asarray([tgt[1], tgt[0], 0, 0], np.int32),
+            "extra": tgt}
+
+
+def _gen_blockedunlockpickup(env, g: _HostGrid) -> dict:
+    """envs/blockedunlockpickup.py:84-101."""
+    rg = _HostRoomGrid(g, env.room_size, 1, 2)
+    (kind, color), _ = rg.add_object(1, 0, kind="box")
+    door_color, pos = rg.add_door(0, 0, 0, locked=True)
+    ball_color = _rand_elem(g, _SORTED_COLORS)  # _rand_color
+    g.put(pos[0] - 1, pos[1], _obj("ball", C.COLOR_TO_IDX[ball_color]))
+    rg.add_object(0, 0, "key", door_color)
+    rg.place_agent(0, 0)
+    tgt = np.asarray([C.OBJECT_TO_IDX[kind], C.COLOR_TO_IDX[color]], np.int32)
+    return {"mission": np.asarray([tgt[1], tgt[0], 0, 0], np.int32),
+            "extra": tgt}
+
+
 def _gen_lockedroom(env, g: _HostGrid) -> dict:
     """envs/lockedroom.py:94-165 — draw-and-remove color order, retry key
     room, rand_pos without emptiness checks."""
@@ -595,6 +822,10 @@ _GENERATORS = {
     "Memory": _gen_memory,
     "LockedRoom": _gen_lockedroom,
     "MultiRoom": _gen_multiroom,
+    "KeyCorridor": _gen_keycorridor,
+    "Unlock": _gen_unlock,
+    "UnlockPickup": _gen_unlockpickup,
+    "BlockedUnlockPickup": _gen_blockedunlockpickup,
 }
 
 

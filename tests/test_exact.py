@@ -64,13 +64,21 @@ def _case(name):
                        lambda: E.LockedRoomEnv(size=19)),
         "multiroom": (lambda: R.MultiRoomEnv(minNumRooms=4, maxNumRooms=6),
                       lambda: E.MultiRoomEnv(minNumRooms=4, maxNumRooms=6)),
+        "keycorridor": (lambda: R.KeyCorridorEnv(room_size=3, num_rows=3),
+                        lambda: E.KeyCorridorEnv(room_size=3, num_rows=3)),
+        "unlock": (lambda: R.UnlockEnv(), lambda: E.UnlockEnv()),
+        "unlockpickup": (lambda: R.UnlockPickupEnv(),
+                         lambda: E.UnlockPickupEnv()),
+        "blockedunlockpickup": (lambda: R.BlockedUnlockPickupEnv(),
+                                lambda: E.BlockedUnlockPickupEnv()),
     }[name]
 
 
 CASES = ["empty_random", "doorkey", "lavagap", "fourrooms",
          "crossing_lava", "crossing_wall", "distshift", "gotodoor",
          "fetch", "gotoobject", "putnear", "dynamicobstacles",
-         "redbluedoor", "memory", "lockedroom", "multiroom"]
+         "redbluedoor", "memory", "lockedroom", "multiroom",
+         "keycorridor", "unlock", "unlockpickup", "blockedunlockpickup"]
 
 
 @requires_reference
@@ -96,7 +104,8 @@ def test_exact_reset_matches_reference(case, seed):
 @pytest.mark.parametrize("case", ["doorkey", "crossing_lava", "fourrooms",
                                   "gotodoor", "fetch", "memory",
                                   "redbluedoor", "putnear", "lockedroom",
-                                  "multiroom"])
+                                  "multiroom", "keycorridor", "unlock",
+                                  "unlockpickup"])
 @pytest.mark.parametrize("seed", [0, 11])
 def test_exact_seed_trajectory_parity(case, seed):
     """From an integer seed only: exact reset, then lockstep trajectory —
@@ -125,6 +134,6 @@ def test_exact_seed_trajectory_parity(case, seed):
 def test_exact_unsupported_raises():
     import minigrid_tpu
 
-    env = minigrid_tpu.make("MiniGrid-KeyCorridorS3R3-v0")
+    env = minigrid_tpu.make("MiniGrid-ObstructedMaze-Full-v0")
     with pytest.raises(NotImplementedError):
         reset_exact(env, 0)
