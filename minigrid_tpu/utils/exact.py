@@ -20,7 +20,11 @@ reset-through-trajectory seed parity.
 Supported families: Empty, DoorKey, LavaGap, FourRooms, Crossing (both
 obstacle types), DistShift, GoToDoor, Fetch, GoToObject, PutNear,
 DynamicObstacles, RedBlueDoor, Memory, LockedRoom, MultiRoom (the full
-recursive chain placement).  Families whose tasks carry state
+recursive chain placement), KeyCorridor, Unlock, UnlockPickup,
+BlockedUnlockPickup (via a host RoomGrid builder), and the BabyAI
+GoToRedBall / GoToRedBallGrey / GoToRedBallNoDists / GoToObj / GoToLocal
+levels (RoomGridLevel retry loop + verifier finalization, mission surface
+included).  Families whose tasks carry state
 beyond the grid (target descriptors, obstacle lists, success cells) return
 the same ``mission``/``extra`` payloads the on-device generator builds, so
 the tensor ``step`` kernels continue the episode unchanged.  This is a
@@ -829,6 +833,96 @@ _GENERATORS = {
 }
 
 
+class _RejectSampling(Exception):
+    """Mirror of the reference's RejectSampling (roomgrid_level.py:16)."""
+
+
+def _check_objs_reachable_host(g: _HostGrid) -> None:
+    """check_objs_reachable (roomgrid_level.py:249-301): BFS from the agent
+    where doors of any state are passable and other objects block
+    expansion; any unreachable non-wall object rejects the sample."""
+    door_t = C.OBJECT_TO_IDX["door"]
+    empty_t = C.OBJECT_TO_IDX["empty"]
+    wall_t = C.OBJECT_TO_IDX["wall"]
+    reachable: set = set()
+    stack = [tuple(g.agent_pos)]
+    while stack:
+        i, j = stack.pop()
+        if i < 0 or i >= g.w or j < 0 or j >= g.h:
+            continue
+        if (i, j) in reachable:
+            continue
+        reachable.add((i, j))
+        t = g.grid[i, j, 0]
+        if t != empty_t and t != door_t:
+            continue
+        stack += [(i + 1, j), (i - 1, j), (i, j + 1), (i, j - 1)]
+    for i in range(g.w):
+        for j in range(g.h):
+            t = g.grid[i, j, 0]
+            if t == empty_t or t == wall_t:
+                continue
+            if (i, j) not in reachable:
+                raise _RejectSampling(f"unreachable object at {(i, j)}")
+
+
+def _babyai_goto_redball(env, g: _HostGrid, grey: bool):
+    """babyai/goto.py:23-56 (GoToRedBallGrey recolors distractors grey
+    AFTER sampling, goto.py:28-29)."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, 1, 1)
+    rg.place_agent()
+    rg.add_object(0, 0, "ball", "red")
+    dists = rg.add_distractors(num_distractors=env.num_dists,
+                               all_unique=False)
+    if grey:
+        for _, pos in dists:
+            g.grid[pos[0], pos[1], 1] = C.COLOR_TO_IDX["grey"]
+    _check_objs_reachable_host(g)
+    return V.single_clause(
+        V.K_GOTO, V.desc(C.OBJECT_TO_IDX["ball"], C.COLOR_TO_IDX["red"]))
+
+
+def _babyai_goto_obj(env, g: _HostGrid):
+    """babyai/goto.py:68-81."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, 1, 1)
+    rg.place_agent()
+    dists = rg.add_distractors(num_distractors=1)
+    (kind, color), _ = dists[0]
+    return V.single_clause(
+        V.K_GOTO, V.desc(C.OBJECT_TO_IDX[kind], C.COLOR_TO_IDX[color]))
+
+
+def _babyai_goto_local(env, g: _HostGrid):
+    """babyai/goto.py:84-98."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, 1, 1)
+    rg.place_agent()
+    dists = rg.add_distractors(num_distractors=env.num_dists,
+                               all_unique=False)
+    _check_objs_reachable_host(g)
+    (kind, color), _ = _rand_elem(g, dists)
+    return V.single_clause(
+        V.K_GOTO, V.desc(C.OBJECT_TO_IDX[kind], C.COLOR_TO_IDX[color]))
+
+
+# BabyAI families: gen_mission host replays, keyed on class name.  Each
+# returns the InstrCode; the RoomGridLevel retry loop
+# (roomgrid_level.py:118-143) and verifier-state finalization live in
+# reset_exact.
+_BABYAI_GENERATORS = {
+    "GoToRedBallGrey": lambda e, g: _babyai_goto_redball(e, g, True),
+    "GoToRedBall": lambda e, g: _babyai_goto_redball(e, g, False),
+    "GoToRedBallNoDists": lambda e, g: _babyai_goto_redball(e, g, False),
+    "GoToObj": _babyai_goto_obj,
+    "GoToLocal": _babyai_goto_local,
+}
+
+
 def _fold_seed(seed: int):
     import jax
 
@@ -836,7 +930,8 @@ def _fold_seed(seed: int):
 
 
 def supported(env) -> bool:
-    return type(env).__name__.replace("Env", "") in _GENERATORS
+    name = type(env).__name__.replace("Env", "")
+    return name in _GENERATORS or name in _BABYAI_GENERATORS
 
 
 def reset_exact(env, seed: int, params=None):
@@ -844,12 +939,15 @@ def reset_exact(env, seed: int, params=None):
     ``ref_env.reset(seed=seed)`` bit-for-bit."""
     params = params if params is not None else env.default_params
     name = type(env).__name__.replace("Env", "")
+    if name in _BABYAI_GENERATORS:
+        return _reset_exact_babyai(env, seed, params,
+                                   _BABYAI_GENERATORS[name])
     try:
         gen = _GENERATORS[name]
     except KeyError:
         raise NotImplementedError(
             f"seed-exact generation not implemented for {type(env).__name__};"
-            f" supported: {sorted(_GENERATORS)}"
+            f" supported: {sorted(_GENERATORS) + sorted(_BABYAI_GENERATORS)}"
         ) from None
     g = _HostGrid(_np_random(seed), params.width, params.height)
     payload = gen(env, g) or {}
@@ -868,4 +966,30 @@ def reset_exact(env, seed: int, params=None):
         has_boxes=False,
         **kw,
     )
+    return env.observation(state, params), state
+
+
+def _reset_exact_babyai(env, seed: int, params, gen_mission):
+    """BabyAI seed-exact reset: the RoomGridLevel retry loop
+    (roomgrid_level.py:118-143) replayed host-side — each attempt rebuilds
+    the room lattice and runs the level's gen_mission on the continuing
+    np_random stream, RejectSampling restarts it — then the verifier
+    state / article flags / per-episode step limit come from the same
+    `_finalize` the on-device generator uses, so the produced EnvState is
+    structurally identical to a production reset."""
+    g = _HostGrid(_np_random(seed), params.width, params.height)
+    while True:
+        g.grid[:] = _EMPTY
+        g.agent_pos, g.agent_dir = (-1, -1), -1
+        try:
+            instr = gen_mission(env, g)
+        except _RejectSampling:
+            continue
+        break
+    b = {
+        "grid": jnp.asarray(g.grid),
+        "agent_pos": jnp.asarray(g.agent_pos, jnp.int32),
+        "agent_dir": jnp.asarray(g.agent_dir, jnp.int32),
+    }
+    state = env._finalize(b, instr, _fold_seed(seed), params)
     return env.observation(state, params), state

@@ -23,10 +23,19 @@ from tests.conftest import requires_reference
 
 def _case(name):
     import minigrid.envs as R
+    import minigrid.envs.babyai.goto as RB
 
+    import minigrid_tpu.babyai.goto as EB
     import minigrid_tpu.envs as E
 
     return {
+        "babyai_gotoredball": (lambda: RB.GoToRedBall(),
+                               lambda: EB.GoToRedBall()),
+        "babyai_gotoredballgrey": (lambda: RB.GoToRedBallGrey(),
+                                   lambda: EB.GoToRedBallGrey()),
+        "babyai_gotoobj": (lambda: RB.GoToObj(), lambda: EB.GoToObj()),
+        "babyai_gotolocal": (lambda: RB.GoToLocal(),
+                             lambda: EB.GoToLocal()),
         "empty_random": (lambda: R.EmptyEnv(size=8, agent_start_pos=None),
                          lambda: E.EmptyEnv(size=8, agent_start_pos=None)),
         "doorkey": (lambda: R.DoorKeyEnv(size=8),
@@ -78,7 +87,9 @@ CASES = ["empty_random", "doorkey", "lavagap", "fourrooms",
          "crossing_lava", "crossing_wall", "distshift", "gotodoor",
          "fetch", "gotoobject", "putnear", "dynamicobstacles",
          "redbluedoor", "memory", "lockedroom", "multiroom",
-         "keycorridor", "unlock", "unlockpickup", "blockedunlockpickup"]
+         "keycorridor", "unlock", "unlockpickup", "blockedunlockpickup",
+         "babyai_gotoredball", "babyai_gotoredballgrey", "babyai_gotoobj",
+         "babyai_gotolocal"]
 
 
 @requires_reference
@@ -98,6 +109,9 @@ def test_exact_reset_matches_reference(case, seed):
     assert int(state.agent_dir) == ref.agent_dir
     np.testing.assert_array_equal(obs_ref["image"], np.asarray(obs["image"]))
     assert obs_ref["direction"] == int(obs["direction"])
+    if case.startswith("babyai_"):
+        # the instruction surface must reproduce the reference mission string
+        assert env.mission_text(np.asarray(state.mission)) == ref.mission
 
 
 @requires_reference
@@ -105,7 +119,8 @@ def test_exact_reset_matches_reference(case, seed):
                                   "gotodoor", "fetch", "memory",
                                   "redbluedoor", "putnear", "lockedroom",
                                   "multiroom", "keycorridor", "unlock",
-                                  "unlockpickup"])
+                                  "unlockpickup", "babyai_gotoredball",
+                                  "babyai_gotolocal"])
 @pytest.mark.parametrize("seed", [0, 11])
 def test_exact_seed_trajectory_parity(case, seed):
     """From an integer seed only: exact reset, then lockstep trajectory —
