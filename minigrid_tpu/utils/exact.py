@@ -21,10 +21,13 @@ Supported families: Empty, DoorKey, LavaGap, FourRooms, Crossing (both
 obstacle types), DistShift, GoToDoor, Fetch, GoToObject, PutNear,
 DynamicObstacles, RedBlueDoor, Memory, LockedRoom, MultiRoom (the full
 recursive chain placement), KeyCorridor, Unlock, UnlockPickup,
-BlockedUnlockPickup (via a host RoomGrid builder), and the BabyAI
-GoToRedBall / GoToRedBallGrey / GoToRedBallNoDists / GoToObj / GoToLocal
-levels (RoomGridLevel retry loop + verifier finalization, mission surface
-included).  Families whose tasks carry state
+BlockedUnlockPickup (via a host RoomGrid builder), and 20 BabyAI
+level families — the GoTo(RedBall/Grey/NoDists/Obj/Local), Pickup
+(Pickup/Unblock/Dist/Above), Open (Open/RedDoor/Door/Color/Loc/TwoDoors/
+DoorsOrder), and PutNext(Local/Carrying) groups — via the RoomGridLevel
+retry loop, host check_objs_reachable/PutNext validation, and the same
+verifier finalization as the production reset (mission surfaces
+bit-identical).  Families whose tasks carry state
 beyond the grid (target descriptors, obstacle lists, success cells) return
 the same ``mission``/``extra`` payloads the on-device generator builds, so
 the tensor ``step`` kernels continue the episode unchanged.  This is a
@@ -910,16 +913,269 @@ def _babyai_goto_local(env, g: _HostGrid):
         V.K_GOTO, V.desc(C.OBJECT_TO_IDX[kind], C.COLOR_TO_IDX[color]))
 
 
+def _rand_subset(g: _HostGrid, lst, n):
+    """_rand_subset (minigrid_env.py:276-290): draw-and-remove."""
+    lst = list(lst)
+    out = []
+    while len(out) < n:
+        e = _rand_elem(g, lst)
+        lst.remove(e)
+        out.append(e)
+    return out
+
+
+def _clause(kind, type_name=None, color_name=None, loc=0, strict=False,
+            d2=None):
+    from minigrid_tpu.babyai import verifier as V
+
+    d1 = V.desc(0 if type_name is None else C.OBJECT_TO_IDX[type_name],
+                0 if color_name is None else C.COLOR_TO_IDX[color_name],
+                loc)
+    return V.single_clause(kind, d1, d2=d2, strict=strict)
+
+
+def _validate_putnext_host(g: _HostGrid, da, db) -> None:
+    """validate_instrs' PutNextInstr branch (roomgrid_level.py:159-176):
+    shared objects, existing adjacency, or a single self-move reject the
+    sample.  da/db = (type_name, color_name)."""
+    def cells(type_name, color_name):
+        t = C.OBJECT_TO_IDX[type_name]
+        c = C.COLOR_TO_IDX[color_name]
+        return [(i, j) for i in range(g.w) for j in range(g.h)
+                if g.grid[i, j, 0] == t and g.grid[i, j, 1] == c]
+
+    a_cells, b_cells = cells(*da), cells(*db)
+    if set(a_cells) & set(b_cells):
+        raise _RejectSampling("objects match both lhs and rhs of PutNext")
+    for (xa, ya) in a_cells:
+        for (xb, yb) in b_cells:
+            if abs(xa - xb) + abs(ya - yb) == 1:
+                raise _RejectSampling("objs already next to each other")
+
+
+def _babyai_pickup(env, g: _HostGrid):
+    """babyai/pickup.py:12-23 (Pickup: multi-room, connect_all)."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, env.num_rows, env.num_cols)
+    rg.place_agent()
+    rg.connect_all()
+    dists = rg.add_distractors(num_distractors=18, all_unique=False)
+    _check_objs_reachable_host(g)
+    (kind, color), _ = _rand_elem(g, dists)
+    return _clause(V.K_PICKUP, kind, color)
+
+
+def _babyai_unblock_pickup(env, g: _HostGrid):
+    """babyai/pickup.py:26-43: at least one object must be UNreachable."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, env.num_rows, env.num_cols)
+    rg.place_agent()
+    rg.connect_all()
+    dists = rg.add_distractors(num_distractors=20, all_unique=False)
+    try:
+        _check_objs_reachable_host(g)
+    except _RejectSampling:
+        pass
+    else:
+        raise _RejectSampling("all objects reachable")
+    (kind, color), _ = _rand_elem(g, dists)
+    return _clause(V.K_PICKUP, kind, color)
+
+
+def _babyai_pickup_dist(env, g: _HostGrid):
+    """babyai/pickup.py:71-97: distractors first, then agent; 3-way
+    select_by wildcards."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, 1, 1)
+    dists = rg.add_distractors(num_distractors=5)
+    rg.place_agent(0, 0)
+    (kind, color), _ = _rand_elem(g, dists)
+    select_by = _rand_elem(g, ["type", "color", "both"])
+    if select_by == "color":
+        kind = None
+    elif select_by == "type":
+        color = None
+    return _clause(V.K_PICKUP, kind, color, strict=env.debug)
+
+
+def _babyai_pickup_above(env, g: _HostGrid):
+    """babyai/pickup.py:100-120."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, env.num_rows, env.num_cols)
+    (kind, color), _ = rg.add_object(1, 0)
+    rg.add_door(1, 1, 3, locked=False)
+    rg.place_agent(1, 1)
+    rg.connect_all()
+    return _clause(V.K_PICKUP, kind, color)
+
+
+def _babyai_open(env, g: _HostGrid):
+    """babyai/open.py:17-42 (Open: the door list enumerates every room's
+    doors, so shared doors appear twice — same draw weights as the
+    reference)."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, env.num_rows, env.num_cols)
+    rg.place_agent()
+    rg.connect_all()
+    rg.add_distractors(num_distractors=18, all_unique=False)
+    _check_objs_reachable_host(g)
+    doors = []
+    for i in range(rg.cols):
+        for j in range(rg.rows):
+            for d in rg.doors[i, j]:
+                if d:
+                    doors.append(d)
+    color = _rand_elem(g, doors)
+    return _clause(V.K_OPEN, "door", color)
+
+
+def _babyai_open_red_door(env, g: _HostGrid):
+    """babyai/open.py:45-58."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, 1, 2)
+    rg.add_door(0, 0, 0, "red", locked=False)
+    rg.place_agent(0, 0)
+    return _clause(V.K_OPEN, "door", "red")
+
+
+def _babyai_open_door(env, g: _HostGrid):
+    """babyai/open.py:61-94 (OpenDoor / OpenDoorColor / OpenDoorLoc)."""
+    from minigrid_tpu.babyai import verifier as V
+    from minigrid_tpu.babyai.verifier import LOC_NAMES
+
+    rg = _HostRoomGrid(g, env.room_size, env.num_rows, env.num_cols)
+    door_colors = _rand_subset(g, _SORTED_COLORS, 4)
+    for i, color in enumerate(door_colors):
+        rg.add_door(1, 1, door_idx=i, color=color, locked=False)
+    select_by = env.select_by
+    if select_by is None:
+        select_by = _rand_elem(g, ["color", "loc"])
+    if select_by == "color":
+        code = _clause(V.K_OPEN, "door", door_colors[0], strict=env.debug)
+    else:
+        loc = 1 + LOC_NAMES.index(_rand_elem(g, list(LOC_NAMES)))
+        code = _clause(V.K_OPEN, "door", None, loc=loc, strict=env.debug)
+    rg.place_agent(1, 1)
+    return code
+
+
+def _babyai_open_two_doors(env, g: _HostGrid):
+    """babyai/open.py:97-137."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, env.num_rows, env.num_cols)
+    colors = _rand_subset(g, _SORTED_COLORS, 2)
+    first = env.first_color if env.first_color else colors[0]
+    second = env.second_color if env.second_color else colors[1]
+    rg.add_door(1, 1, 2, color=first, locked=False)
+    rg.add_door(1, 1, 0, color=second, locked=False)
+    rg.place_agent(1, 1)
+    return V.seq_instr(
+        V.S_BEFORE,
+        _clause(V.K_OPEN, "door", first, strict=env.strict),
+        _clause(V.K_OPEN, "door", second),
+    )
+
+
+def _babyai_open_doors_order(env, g: _HostGrid):
+    """babyai/open.py:140-180 (random-wall add_door + 3-way mode)."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, env.num_rows, env.num_cols)
+    colors = _rand_subset(g, _SORTED_COLORS, env.num_doors)
+    doors = []
+    for i in range(env.num_doors):
+        color, _ = rg.add_door(1, 1, color=colors[i], locked=False)
+        doors.append(color)
+    rg.place_agent(1, 1)
+    d1, d2 = _rand_subset(g, doors, 2)
+    mode = g.rand_int(0, 3)
+    c1 = _clause(V.K_OPEN, "door", d1, strict=env.debug)
+    if mode == 0:
+        return c1
+    c2 = _clause(V.K_OPEN, "door", d2, strict=env.debug)
+    return V.seq_instr(V.S_BEFORE if mode == 1 else V.S_AFTER, c1, c2)
+
+
+def _babyai_putnext_local(env, g: _HostGrid):
+    """babyai/putnext.py:10-28 + the PutNext validate_instrs branch."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, 1, 1)
+    rg.place_agent()
+    dists = rg.add_distractors(num_distractors=env.num_objs, all_unique=True)
+    _check_objs_reachable_host(g)
+    (o1, o2) = _rand_subset(g, dists, 2)
+    (k1, c1), (k2, c2) = o1[0], o2[0]
+    _validate_putnext_host(g, (k1, c1), (k2, c2))
+    from minigrid_tpu.babyai.verifier import desc
+
+    return V.single_clause(
+        V.K_PUTNEXT,
+        desc(C.OBJECT_TO_IDX[k1], C.COLOR_TO_IDX[c1]),
+        d2=desc(C.OBJECT_TO_IDX[k2], C.COLOR_TO_IDX[c2]))
+
+
+def _babyai_putnext(env, g: _HostGrid):
+    """babyai/putnext.py:31-93 (incl. the start_carrying payload for
+    post_generate)."""
+    from minigrid_tpu.babyai import verifier as V
+    from minigrid_tpu.babyai.verifier import desc
+
+    rg = _HostRoomGrid(g, env.room_size, 1, 2)
+    rg.place_agent(0, 0)
+    objs_l = rg.add_distractors(0, 0, env.objs_per_room)
+    objs_r = rg.add_distractors(1, 0, env.objs_per_room)
+    rg.remove_wall(0, 0, 0)
+    a, a_pos = _rand_elem(g, objs_l)
+    b, b_pos = _rand_elem(g, objs_r)
+    if g.rand_int(0, 2) == 0:  # _rand_bool
+        a, b = b, a
+        a_pos, b_pos = b_pos, a_pos
+    _validate_putnext_host(g, a, b)
+    instr = V.single_clause(
+        V.K_PUTNEXT,
+        desc(C.OBJECT_TO_IDX[a[0]], C.COLOR_TO_IDX[a[1]]),
+        d2=desc(C.OBJECT_TO_IDX[b[0]], C.COLOR_TO_IDX[b[1]]))
+    extra_b = {
+        "carry_triple": jnp.asarray(
+            [C.OBJECT_TO_IDX[a[0]], C.COLOR_TO_IDX[a[1]], 0], jnp.uint8),
+        "carry_pos": jnp.asarray(a_pos, jnp.int32),
+    }
+    return instr, extra_b
+
+
 # BabyAI families: gen_mission host replays, keyed on class name.  Each
-# returns the InstrCode; the RoomGridLevel retry loop
-# (roomgrid_level.py:118-143) and verifier-state finalization live in
-# reset_exact.
+# returns the InstrCode (optionally with extra builder keys for
+# post_generate); the RoomGridLevel retry loop (roomgrid_level.py:118-143)
+# and verifier-state finalization live in reset_exact.
 _BABYAI_GENERATORS = {
     "GoToRedBallGrey": lambda e, g: _babyai_goto_redball(e, g, True),
     "GoToRedBall": lambda e, g: _babyai_goto_redball(e, g, False),
     "GoToRedBallNoDists": lambda e, g: _babyai_goto_redball(e, g, False),
     "GoToObj": _babyai_goto_obj,
     "GoToLocal": _babyai_goto_local,
+    "Pickup": _babyai_pickup,
+    "UnblockPickup": _babyai_unblock_pickup,
+    "PickupDist": _babyai_pickup_dist,
+    "PickupDistDebug": _babyai_pickup_dist,
+    "PickupAbove": _babyai_pickup_above,
+    "Open": _babyai_open,
+    "OpenRedDoor": _babyai_open_red_door,
+    "OpenDoor": _babyai_open_door,
+    "OpenDoorColor": _babyai_open_door,
+    "OpenDoorLoc": _babyai_open_door,
+    "OpenTwoDoors": _babyai_open_two_doors,
+    "OpenDoorsOrder": _babyai_open_doors_order,
+    "PutNextLocal": _babyai_putnext_local,
+    "PutNext": _babyai_putnext,
+    "PutNextCarrying": _babyai_putnext,
 }
 
 
@@ -982,14 +1238,20 @@ def _reset_exact_babyai(env, seed: int, params, gen_mission):
         g.grid[:] = _EMPTY
         g.agent_pos, g.agent_dir = (-1, -1), -1
         try:
-            instr = gen_mission(env, g)
+            result = gen_mission(env, g)
         except _RejectSampling:
             continue
         break
+    extra_b = {}
+    if isinstance(result, tuple):
+        instr, extra_b = result
+    else:
+        instr = result
     b = {
         "grid": jnp.asarray(g.grid),
         "agent_pos": jnp.asarray(g.agent_pos, jnp.int32),
         "agent_dir": jnp.asarray(g.agent_dir, jnp.int32),
+        **extra_b,
     }
     state = env._finalize(b, instr, _fold_seed(seed), params)
     return env.observation(state, params), state

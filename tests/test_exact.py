@@ -24,8 +24,14 @@ from tests.conftest import requires_reference
 def _case(name):
     import minigrid.envs as R
     import minigrid.envs.babyai.goto as RB
+    import minigrid.envs.babyai.open as RO
+    import minigrid.envs.babyai.pickup as RP
+    import minigrid.envs.babyai.putnext as RPN
 
     import minigrid_tpu.babyai.goto as EB
+    import minigrid_tpu.babyai.open as EO
+    import minigrid_tpu.babyai.pickup as EP
+    import minigrid_tpu.babyai.putnext as EPN
     import minigrid_tpu.envs as E
 
     return {
@@ -36,6 +42,26 @@ def _case(name):
         "babyai_gotoobj": (lambda: RB.GoToObj(), lambda: EB.GoToObj()),
         "babyai_gotolocal": (lambda: RB.GoToLocal(),
                              lambda: EB.GoToLocal()),
+        "babyai_pickup": (lambda: RP.Pickup(), lambda: EP.Pickup()),
+        "babyai_unblockpickup": (lambda: RP.UnblockPickup(),
+                                 lambda: EP.UnblockPickup()),
+        "babyai_pickupdist": (lambda: RP.PickupDist(),
+                              lambda: EP.PickupDist()),
+        "babyai_pickupabove": (lambda: RP.PickupAbove(),
+                               lambda: EP.PickupAbove()),
+        "babyai_open": (lambda: RO.Open(), lambda: EO.Open()),
+        "babyai_opendoor": (lambda: RO.OpenDoor(), lambda: EO.OpenDoor()),
+        "babyai_opendoorloc": (lambda: RO.OpenDoor(select_by="loc"),
+                               lambda: EO.OpenDoorLoc()),
+        "babyai_opentwodoors": (lambda: RO.OpenTwoDoors(),
+                                lambda: EO.OpenTwoDoors()),
+        "babyai_opendoorsorder": (lambda: RO.OpenDoorsOrder(num_doors=4),
+                                  lambda: EO.OpenDoorsOrder(num_doors=4)),
+        "babyai_putnextlocal": (lambda: RPN.PutNextLocal(),
+                                lambda: EPN.PutNextLocal()),
+        "babyai_putnext": (
+            lambda: RPN.PutNext(room_size=6, objs_per_room=4),
+            lambda: EPN.PutNext(room_size=6, objs_per_room=4)),
         "empty_random": (lambda: R.EmptyEnv(size=8, agent_start_pos=None),
                          lambda: E.EmptyEnv(size=8, agent_start_pos=None)),
         "doorkey": (lambda: R.DoorKeyEnv(size=8),
@@ -89,7 +115,10 @@ CASES = ["empty_random", "doorkey", "lavagap", "fourrooms",
          "redbluedoor", "memory", "lockedroom", "multiroom",
          "keycorridor", "unlock", "unlockpickup", "blockedunlockpickup",
          "babyai_gotoredball", "babyai_gotoredballgrey", "babyai_gotoobj",
-         "babyai_gotolocal"]
+         "babyai_gotolocal", "babyai_pickup", "babyai_unblockpickup",
+         "babyai_pickupdist", "babyai_pickupabove", "babyai_open",
+         "babyai_opendoor", "babyai_opendoorloc", "babyai_opentwodoors",
+         "babyai_opendoorsorder", "babyai_putnextlocal", "babyai_putnext"]
 
 
 @requires_reference
@@ -120,7 +149,8 @@ def test_exact_reset_matches_reference(case, seed):
                                   "redbluedoor", "putnear", "lockedroom",
                                   "multiroom", "keycorridor", "unlock",
                                   "unlockpickup", "babyai_gotoredball",
-                                  "babyai_gotolocal"])
+                                  "babyai_gotolocal", "babyai_pickupdist",
+                                  "babyai_opendoor", "babyai_putnextlocal"])
 @pytest.mark.parametrize("seed", [0, 11])
 def test_exact_seed_trajectory_parity(case, seed):
     """From an integer seed only: exact reset, then lockstep trajectory —
