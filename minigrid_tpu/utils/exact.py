@@ -21,13 +21,16 @@ Supported families: Empty, DoorKey, LavaGap, FourRooms, Crossing (both
 obstacle types), DistShift, GoToDoor, Fetch, GoToObject, PutNear,
 DynamicObstacles, RedBlueDoor, Memory, LockedRoom, MultiRoom (the full
 recursive chain placement), KeyCorridor, Unlock, UnlockPickup,
-BlockedUnlockPickup (via a host RoomGrid builder), and 20 BabyAI
-level families — the GoTo(RedBall/Grey/NoDists/Obj/Local), Pickup
-(Pickup/Unblock/Dist/Above), Open (Open/RedDoor/Door/Color/Loc/TwoDoors/
-DoorsOrder), and PutNext(Local/Carrying) groups — via the RoomGridLevel
-retry loop, host check_objs_reachable/PutNext validation, and the same
-verifier finalization as the production reset (mission surfaces
-bit-identical).  Families whose tasks carry state
+BlockedUnlockPickup (via a host RoomGrid builder), and EVERY BabyAI
+level family — all 40 classes including the LevelGen grammar levels
+(Synth*, MiniBossLevel, BossLevel*, PickupLoc, GoToSeq) — via the
+RoomGridLevel retry loop, host check_objs_reachable/PutNext validation,
+the full rand_instr/rand_obj grammar replay, and the same verifier
+finalization as the production reset (mission surfaces bit-identical).
+Reference quirks are replicated where they shape the stream: the
+np.int64 identity comparisons in GoToImpUnlock/Unlock that disable the
+key-room retry and the distractor-room filter (goto.py:148-166,
+unlock.py:25-48).  Families whose tasks carry state
 beyond the grid (target descriptors, obstacle lists, success cells) return
 the same ``mission``/``extra`` payloads the on-device generator builds, so
 the tensor ``step`` kernels continue the episode unchanged.  This is a
@@ -587,9 +590,10 @@ class _HostRoomGrid:
         s = self.room_size
         return (x // (s - 1), y // (s - 1))
 
-    def connect_all(self):
+    def connect_all(self, door_colors=None):
         """roomgrid.py:336-394 — the literal rejection loop."""
         g = self.g
+        door_colors = _SORTED_COLORS if door_colors is None else door_colors
         start = self.room_from_pos(*g.agent_pos)
         start = (min(start[0], self.cols - 1), min(start[1], self.rows - 1))
         while True:
@@ -611,7 +615,7 @@ class _HostRoomGrid:
                 continue
             if self.locked[i, j] or self.locked[self.neighbors[i, j][k]]:
                 continue
-            color = _rand_elem(g, _SORTED_COLORS)
+            color = _rand_elem(g, door_colors)
             self.add_door(i, j, k, color, False)
 
     def add_distractors(self, i=None, j=None, num_distractors=10,
@@ -1151,6 +1155,497 @@ def _babyai_putnext(env, g: _HostGrid):
     return instr, extra_b
 
 
+_LOC_IDS = {"left": 1, "right": 2, "front": 3, "behind": 4}
+
+
+def _open_all_doors(g: _HostGrid, rg: _HostRoomGrid) -> None:
+    """open_all_doors (roomgrid_level.py:237-247): flip every door open."""
+    door_t = C.OBJECT_TO_IDX["door"]
+    for i in range(g.w):
+        for j in range(g.h):
+            if g.grid[i, j, 0] == door_t:
+                g.grid[i, j, 2] = C.STATE_TO_IDX["open"]
+
+
+def _locked_room_retry_place_agent(g, rg, locked_room):
+    """LevelGen/Unlock's agent placement loop: re-place until the start
+    room is not the locked room (levelgen.py:67-73, unlock.py:60-66)."""
+    while True:
+        rg.place_agent()
+        if locked_room is not None:
+            ri, rj = rg.room_from_pos(*g.agent_pos)
+            if (min(ri, rg.cols - 1), min(rj, rg.rows - 1)) == locked_room:
+                continue
+        break
+
+
+def _babyai_goto(env, g: _HostGrid):
+    """babyai/goto.py:101-135 (GoTo; doors_open -> open_all_doors)."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, env.num_rows, env.num_cols)
+    rg.place_agent()
+    rg.connect_all()
+    dists = rg.add_distractors(num_distractors=env.num_dists,
+                               all_unique=False)
+    _check_objs_reachable_host(g)
+    (kind, color), _ = _rand_elem(g, dists)
+    if env.doors_open:
+        _open_all_doors(g, rg)
+    return _clause(V.K_GOTO, kind, color)
+
+
+def _babyai_goto_imp_unlock(env, g: _HostGrid):
+    """babyai/goto.py:138-180."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, env.num_rows, env.num_cols)
+    i_d = g.rand_int(0, rg.cols)
+    j_d = g.rand_int(0, rg.rows)
+    door_color, _ = rg.add_door(i_d, j_d, locked=True)
+    # Reference quirk (goto.py:148-156): `if ik is id and jk is jd` compares
+    # np.int64 draws by IDENTITY — always False — so the "key in a different
+    # room" retry never fires and the key may land in the locked room.
+    ik = g.rand_int(0, rg.cols)
+    jk = g.rand_int(0, rg.rows)
+    rg.add_object(ik, jk, "key", door_color)
+    rg.connect_all()
+    # Same quirk (goto.py:163-166): `i is not id or j is not jd` is always
+    # True for int-vs-np.int64, so EVERY room gets distractors.
+    for i in range(rg.cols):
+        for j in range(rg.rows):
+            rg.add_distractors(i, j, num_distractors=2, all_unique=False)
+    _locked_room_retry_place_agent(g, rg, (i_d, j_d))
+    _check_objs_reachable_host(g)
+    (kind, color), _ = rg.add_distractors(i_d, j_d, num_distractors=1,
+                                          all_unique=False)[0]
+    return _clause(V.K_GOTO, kind, color)
+
+
+def _babyai_goto_redblueball(env, g: _HostGrid):
+    """babyai/goto.py:206-233: distractors must contain no red/blue ball."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, 1, 1)
+    rg.place_agent()
+    dists = rg.add_distractors(num_distractors=env.num_dists,
+                               all_unique=False)
+    for (kind, color), _ in dists:
+        if kind == "ball" and color in ("blue", "red"):
+            raise _RejectSampling("can only have one blue or red ball")
+    color = _rand_elem(g, ["red", "blue"])
+    rg.add_object(0, 0, "ball", color)
+    _check_objs_reachable_host(g)
+    return _clause(V.K_GOTO, "ball", color)
+
+
+def _babyai_goto_door_b(env, g: _HostGrid):
+    """babyai/goto.py:236-253 (GoToDoor: four fully random doors)."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, env.num_rows, env.num_cols)
+    colors = []
+    for _ in range(4):
+        color, _ = rg.add_door(1, 1)
+        colors.append(color)
+    rg.place_agent(1, 1)
+    return _clause(V.K_GOTO, "door", _rand_elem(g, colors))
+
+
+def _babyai_goto_objdoor(env, g: _HostGrid):
+    """babyai/goto.py:256-279."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, env.num_rows, env.num_cols)
+    rg.place_agent(1, 1)
+    objs = [d[0] for d in rg.add_distractors(1, 1, num_distractors=8,
+                                             all_unique=False)]
+    for _ in range(4):
+        color, _ = rg.add_door(1, 1)
+        objs.append(("door", color))
+    _check_objs_reachable_host(g)
+    kind, color = _rand_elem(g, objs)
+    return _clause(V.K_GOTO, kind, color)
+
+
+def _babyai_unlock_b(env, g: _HostGrid):
+    """babyai/unlock.py:13-67 (Unlock: 50% unique-color connect_all)."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, env.num_rows, env.num_cols)
+    i_d = g.rand_int(0, rg.cols)
+    j_d = g.rand_int(0, rg.rows)
+    door_color, _ = rg.add_door(i_d, j_d, locked=True)
+    # Reference quirk (unlock.py:25-33): the `ik is id and jk is jd` retry
+    # never fires (np.int64 identity) — one draw, key may land locked-in.
+    ik = g.rand_int(0, rg.cols)
+    jk = g.rand_int(0, rg.rows)
+    rg.add_object(ik, jk, "key", door_color)
+    if g.rand_int(0, 2) == 0:  # _rand_bool
+        # `filter(lambda c: c is not door.color, ...)`: interned str
+        # identity DOES work here, so the exclusion is real
+        rg.connect_all([c for c in _SORTED_COLORS if c != door_color])
+    else:
+        rg.connect_all()
+    # distractor-room filter is always True (int vs np.int64 `is not`)
+    for i in range(rg.cols):
+        for j in range(rg.rows):
+            rg.add_distractors(i, j, num_distractors=3, all_unique=False)
+    _locked_room_retry_place_agent(g, rg, (i_d, j_d))
+    _check_objs_reachable_host(g)
+    return _clause(V.K_OPEN, "door", door_color)
+
+
+def _babyai_unlock_local(env, g: _HostGrid):
+    """babyai/unlock.py:70-86 (type-only OpenInstr)."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, env.num_rows, env.num_cols)
+    door_color, _ = rg.add_door(1, 1, locked=True)
+    rg.add_object(1, 1, "key", door_color)
+    if env.distractors:
+        rg.add_distractors(1, 1, num_distractors=3)
+    rg.place_agent(1, 1)
+    return _clause(V.K_OPEN, "door", None)
+
+
+def _babyai_keyinbox(env, g: _HostGrid):
+    """babyai/unlock.py:89-105: the key hides inside a box (box_contains
+    payload for the builder)."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, env.num_rows, env.num_cols)
+    door_color, _ = rg.add_door(1, 1, locked=True)
+    box_color = _rand_elem(g, _SORTED_COLORS)  # _rand_color
+    pos = rg.place_in_room(1, 1, _obj("box", C.COLOR_TO_IDX[box_color]))
+    rg.place_agent(1, 1)
+    contains = np.broadcast_to(_EMPTY, (g.w, g.h, 3)).copy()
+    contains[pos[0], pos[1]] = _obj("key", C.COLOR_TO_IDX[door_color])
+    return (_clause(V.K_OPEN, "door", None),
+            {"box_contains": jnp.asarray(contains)})
+
+
+def _babyai_unlockpickup_b(env, g: _HostGrid):
+    """babyai/unlock.py:108-142."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, 1, 2)
+    (kind, color), _ = rg.add_object(1, 0, kind="box")
+    door_color, _ = rg.add_door(0, 0, 0, locked=True)
+    rg.add_object(0, 0, "key", door_color)
+    if env.distractors:
+        rg.add_distractors(num_distractors=4)
+    rg.place_agent(0, 0)
+    return _clause(V.K_PICKUP, kind, color)
+
+
+def _babyai_blockedunlockpickup_b(env, g: _HostGrid):
+    """babyai/unlock.py:145-170 (type-only PickupInstr)."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, 1, 2)
+    rg.add_object(1, 0, kind="box")
+    door_color, pos = rg.add_door(0, 0, 0, locked=True)
+    ball_color = _rand_elem(g, _SORTED_COLORS)  # _rand_color
+    g.put(pos[0] - 1, pos[1], _obj("ball", C.COLOR_TO_IDX[ball_color]))
+    rg.add_object(0, 0, "key", door_color)
+    rg.place_agent(0, 0)
+    return _clause(V.K_PICKUP, "box", None)
+
+
+def _babyai_unlocktounlock(env, g: _HostGrid):
+    """babyai/unlock.py:173-202 (type-only PickupInstr)."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, 1, 3)
+    colors = _rand_subset(g, _SORTED_COLORS, 2)
+    rg.add_door(0, 0, door_idx=0, color=colors[0], locked=True)
+    rg.add_object(2, 0, kind="key", color=colors[0])
+    rg.add_door(1, 0, door_idx=0, color=colors[1], locked=True)
+    rg.add_object(1, 0, kind="key", color=colors[1])
+    rg.add_object(0, 0, kind="ball")
+    rg.place_agent(1, 0)
+    return _clause(V.K_PICKUP, "ball", None)
+
+
+def _babyai_actionobjdoor(env, g: _HostGrid):
+    """babyai/other.py:18-48 (3-way action over objects and doors)."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, env.num_rows, env.num_cols)
+    objs = [d[0] for d in rg.add_distractors(1, 1, num_distractors=5)]
+    for _ in range(4):
+        color, _ = rg.add_door(1, 1, locked=False)
+        objs.append(("door", color))
+    rg.place_agent(1, 1)
+    kind, color = _rand_elem(g, objs)
+    if kind == "door":
+        alt = V.K_GOTO if g.rand_int(0, 2) == 0 else V.K_OPEN
+    else:
+        alt = V.K_GOTO if g.rand_int(0, 2) == 0 else V.K_PICKUP
+    return _clause(alt, kind, color)
+
+
+def _babyai_findobj(env, g: _HostGrid):
+    """babyai/other.py:51-70 (FindObjS5; note the reference draws the
+    column bound from num_rows and vice versa — square grids)."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, env.num_rows, env.num_cols)
+    i = g.rand_int(0, rg.rows)
+    j = g.rand_int(0, rg.cols)
+    (kind, _), _ = rg.add_object(i, j)
+    rg.place_agent(1, 1)
+    rg.connect_all()
+    return _clause(V.K_PICKUP, kind, None)
+
+
+def _babyai_keycorridor_b(env, g: _HostGrid):
+    """babyai/other.py:73-110 (type-only PickupInstr)."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, env.num_rows, 3)
+    for j in range(1, rg.rows):
+        rg.remove_wall(1, j, 3)
+    room_idx = g.rand_int(0, rg.rows)
+    door_color, _ = rg.add_door(2, room_idx, 2, locked=True)
+    (kind, _), _ = rg.add_object(2, room_idx, kind=env.obj_type)
+    rg.add_object(0, g.rand_int(0, rg.rows), "key", door_color)
+    rg.place_agent(1, rg.rows // 2)
+    rg.connect_all()
+    return _clause(V.K_PICKUP, kind, None)
+
+
+def _babyai_oneroom(env, g: _HostGrid):
+    """babyai/other.py:113-123."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, 1, 1)
+    rg.add_object(0, 0, kind="ball")
+    rg.place_agent()
+    return _clause(V.K_PICKUP, "ball", None)
+
+
+def _babyai_movetwoacross(env, g: _HostGrid):
+    """babyai/other.py:126-180: Before(PutNext, PutNext) across rooms."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, 1, 2)
+    rg.place_agent(0, 0)
+    objs_l = rg.add_distractors(0, 0, env.objs_per_room)
+    objs_r = rg.add_distractors(1, 0, env.objs_per_room)
+    rg.remove_wall(0, 0, 0)
+    sel_l = _rand_subset(g, objs_l, 2)
+    sel_r = _rand_subset(g, objs_r, 2)
+    a, d = sel_l[0][0], sel_l[1][0]
+    b, c = sel_r[0][0], sel_r[1][0]
+    for move, fixed in ((a, b), (c, d)):
+        _validate_putnext_host(g, move, fixed)
+
+    def pn(move, fixed):
+        from minigrid_tpu.babyai.verifier import desc
+
+        return V.single_clause(
+            V.K_PUTNEXT,
+            desc(C.OBJECT_TO_IDX[move[0]], C.COLOR_TO_IDX[move[1]]),
+            d2=desc(C.OBJECT_TO_IDX[fixed[0]], C.COLOR_TO_IDX[fixed[1]]))
+
+    return V.seq_instr(V.S_BEFORE, pn(a, b), pn(c, d))
+
+
+def _find_cells(g: _HostGrid, rg: _HostRoomGrid, type_name, color_name, loc):
+    """ObjDesc.find_matching_objs host-side (verifier.py:104-169): cells
+    whose (type, color) match, with location predicates relative to the
+    agent's pose restricted to its room (borders included)."""
+    cells = []
+    s = rg.room_size
+    if loc is not None:
+        ri, rj = rg.room_from_pos(*g.agent_pos)
+        ri, rj = min(ri, rg.cols - 1), min(rj, rg.rows - 1)
+        tx, ty = rg.top[ri, rj]
+        d1 = [(1, 0), (0, 1), (-1, 0), (0, -1)][g.agent_dir]
+        d2 = (-d1[1], d1[0])
+    t_id = None if type_name is None else C.OBJECT_TO_IDX[type_name]
+    c_id = None if color_name is None else C.COLOR_TO_IDX[color_name]
+    for i in range(g.w):
+        for j in range(g.h):
+            t = g.grid[i, j, 0]
+            if t == C.OBJECT_TO_IDX["empty"]:
+                continue
+            if t_id is not None and t != t_id:
+                continue
+            if c_id is not None and g.grid[i, j, 1] != c_id:
+                continue
+            if loc is not None:
+                if not (tx <= i < tx + s and ty <= j < ty + s):
+                    continue
+                v = (i - g.agent_pos[0], j - g.agent_pos[1])
+                dots = {"left": v[0] * d2[0] + v[1] * d2[1] < 0,
+                        "right": v[0] * d2[0] + v[1] * d2[1] > 0,
+                        "front": v[0] * d1[0] + v[1] * d1[1] > 0,
+                        "behind": v[0] * d1[0] + v[1] * d1[1] < 0}
+                if not dots[loc]:
+                    continue
+            cells.append((i, j))
+    return cells
+
+
+def _babyai_levelgen(env, g: _HostGrid):
+    """LevelGen.gen_mission (levelgen.py:58-210): optional locked room,
+    connect_all, distractors, agent-outside-locked-room retry, rand_instr
+    over the {action, and, seq} grammar with rand_obj descriptor rejection
+    loops — all on the reference stream — plus validate_instrs
+    (roomgrid_level.py:145-198) host-side."""
+    from minigrid_tpu.babyai import verifier as V
+
+    rg = _HostRoomGrid(g, env.room_size, env.num_rows, env.num_cols)
+    locked_room = None
+    locked_door_color = None
+    if g.rng.uniform(0.0, 1.0) < env.locked_room_prob:  # _rand_float
+        while True:  # add_locked_room (levelgen.py:85-112)
+            i = g.rand_int(0, rg.cols)
+            j = g.rand_int(0, rg.rows)
+            d = g.rand_int(0, 4)
+            locked_room = (i, j)
+            if rg.neighbors[i, j][d] is None:
+                continue
+            locked_door_color, _ = rg.add_door(i, j, d, locked=True)
+            break
+        while True:
+            i = g.rand_int(0, rg.cols)
+            j = g.rand_int(0, rg.rows)
+            if (i, j) == locked_room:
+                continue
+            rg.add_object(i, j, "key", locked_door_color)
+            break
+    rg.connect_all()
+    rg.add_distractors(num_distractors=env.num_dists, all_unique=False)
+    while True:
+        rg.place_agent()
+        if locked_room is not None:
+            ri, rj = rg.room_from_pos(*g.agent_pos)
+            if (min(ri, rg.cols - 1), min(rj, rg.rows - 1)) == locked_room:
+                continue
+        break
+    if not env.unblocking:
+        _check_objs_reachable_host(g)
+
+    def in_locked(pos):
+        tx, ty = rg.top[locked_room]
+        s = rg.room_size
+        return tx <= pos[0] < tx + s and ty <= pos[1] < ty + s
+
+    def rand_obj(types):
+        """rand_obj (levelgen.py:114-155): color-then-type draw, optional
+        location, match + implicit-unlock rejection, 100-try fuel."""
+        tries = 0
+        while True:
+            if tries > 100:
+                raise _RejectSampling("failed to find suitable object")
+            tries += 1
+            color = _rand_elem(g, [None, *_SORTED_COLORS])
+            type_name = _rand_elem(g, types)
+            loc = None
+            if env.locations and g.rand_int(0, 2) == 0:  # _rand_bool
+                loc = _rand_elem(g, list(_LOC_IDS))
+            cells = _find_cells(g, rg, type_name, color, loc)
+            if not cells:
+                continue
+            if not env.implicit_unlock and locked_room is not None:
+                if all(in_locked(p) for p in cells):
+                    continue
+            return (type_name, color, loc)
+
+    types_all = ["box", "ball", "key", "door"]
+    types_not_door = ["box", "ball", "key"]
+
+    def rand_instr(action_kinds, instr_kinds):
+        """rand_instr (levelgen.py:157-210) as a host AST."""
+        kind = _rand_elem(g, list(instr_kinds))
+        if kind == "action":
+            action = _rand_elem(g, list(action_kinds))
+            if action == "goto":
+                return ("goto", rand_obj(types_all), None)
+            if action == "pickup":
+                return ("pickup", rand_obj(types_not_door), None)
+            if action == "open":
+                return ("open", rand_obj(["door"]), None)
+            return ("putnext", rand_obj(types_not_door), rand_obj(types_all))
+        if kind == "and":
+            a = rand_instr(action_kinds, ["action"])
+            b = rand_instr(action_kinds, ["action"])
+            return ("and", a, b)
+        a = rand_instr(action_kinds, ["action", "and"])
+        b = rand_instr(action_kinds, ["action", "and"])
+        seq = _rand_elem(g, ["before", "after"])
+        return (seq, a, b)
+
+    ast = rand_instr(env.action_kinds, env.instr_kinds)
+
+    # validate_instrs (roomgrid_level.py:145-198).  Locked-door colors come
+    # from a grid scan — equivalent to the reference's per-room door walk,
+    # which visits every locked door object (only set membership matters).
+    locked_colors = []
+    if env.unblocking:
+        door_t = C.OBJECT_TO_IDX["door"]
+        locked_s = C.STATE_TO_IDX["locked"]
+        for i in range(g.w):
+            for j in range(g.h):
+                if g.grid[i, j, 0] == door_t and g.grid[i, j, 2] == locked_s:
+                    locked_colors.append(int(g.grid[i, j, 1]))
+
+    def validate(node):
+        op = node[0]
+        if op == "putnext":
+            (mt, mc, ml), (ft, fc, fl) = node[1], node[2]
+            move_cells = _find_cells(g, rg, mt, mc, ml)
+            fixed_cells = _find_cells(g, rg, ft, fc, fl)
+            if set(move_cells) & set(fixed_cells):
+                raise _RejectSampling("match both lhs and rhs of PutNext")
+            for (xa, ya) in move_cells:
+                for (xb, yb) in fixed_cells:
+                    if abs(xa - xb) + abs(ya - yb) == 1:
+                        raise _RejectSampling("objs already next")
+        if op in ("goto", "pickup", "open", "putnext"):
+            if not env.unblocking:
+                return
+            for desc in (node[1], node[2]):
+                if desc is None:
+                    continue
+                t, c, _ = desc
+                if (t == "key" and c is not None
+                        and C.COLOR_TO_IDX[c] in locked_colors):
+                    raise _RejectSampling("key matches a locked door")
+            return
+        validate(node[1])
+        validate(node[2])
+
+    validate(ast)
+
+    def conv(node):
+        op = node[0]
+        if op in ("goto", "pickup", "open", "putnext"):
+            kind = {"goto": V.K_GOTO, "pickup": V.K_PICKUP,
+                    "open": V.K_OPEN, "putnext": V.K_PUTNEXT}[op]
+            (t, c, loc) = node[1]
+            d1 = V.desc(C.OBJECT_TO_IDX[t],
+                        0 if c is None else C.COLOR_TO_IDX[c],
+                        0 if loc is None else _LOC_IDS[loc])
+            d2 = None
+            if node[2] is not None:
+                (t2, c2, l2) = node[2]
+                d2 = V.desc(C.OBJECT_TO_IDX[t2],
+                            0 if c2 is None else C.COLOR_TO_IDX[c2],
+                            0 if l2 is None else _LOC_IDS[l2])
+            return V.single_clause(kind, d1, d2=d2)
+        if op == "and":
+            return V.and_instr(conv(node[1]), conv(node[2]))
+        return V.seq_instr(V.S_BEFORE if op == "before" else V.S_AFTER,
+                           conv(node[1]), conv(node[2]))
+
+    return conv(ast)
+
+
 # BabyAI families: gen_mission host replays, keyed on class name.  Each
 # returns the InstrCode (optionally with extra builder keys for
 # post_generate); the RoomGridLevel retry loop (roomgrid_level.py:118-143)
@@ -1176,6 +1671,32 @@ _BABYAI_GENERATORS = {
     "PutNextLocal": _babyai_putnext_local,
     "PutNext": _babyai_putnext,
     "PutNextCarrying": _babyai_putnext,
+    "GoTo": _babyai_goto,
+    "GoToImpUnlock": _babyai_goto_imp_unlock,
+    "GoToRedBlueBall": _babyai_goto_redblueball,
+    "GoToDoorBabyAI": _babyai_goto_door_b,
+    "GoToObjDoor": _babyai_goto_objdoor,
+    "Unlock": _babyai_unlock_b,
+    "UnlockLocal": _babyai_unlock_local,
+    "KeyInBox": _babyai_keyinbox,
+    "UnlockPickup": _babyai_unlockpickup_b,
+    "BlockedUnlockPickup": _babyai_blockedunlockpickup_b,
+    "UnlockToUnlock": _babyai_unlocktounlock,
+    "ActionObjDoor": _babyai_actionobjdoor,
+    "FindObjS5": _babyai_findobj,
+    "KeyCorridor": _babyai_keycorridor_b,
+    "OneRoomS8": _babyai_oneroom,
+    "MoveTwoAcross": _babyai_movetwoacross,
+    "PickupLoc": _babyai_levelgen,
+    "GoToSeq": _babyai_levelgen,
+    "Synth": _babyai_levelgen,
+    "SynthS5R2": _babyai_levelgen,
+    "SynthLoc": _babyai_levelgen,
+    "SynthSeq": _babyai_levelgen,
+    "MiniBossLevel": _babyai_levelgen,
+    "BossLevel": _babyai_levelgen,
+    "BossLevelNoUnlock": _babyai_levelgen,
+    "LevelGen": _babyai_levelgen,
 }
 
 
@@ -1185,9 +1706,17 @@ def _fold_seed(seed: int):
     return jax.random.PRNGKey(seed)
 
 
+def _is_babyai(env) -> bool:
+    from minigrid_tpu.babyai.level import BabyAILevel
+
+    return isinstance(env, BabyAILevel)
+
+
 def supported(env) -> bool:
     name = type(env).__name__.replace("Env", "")
-    return name in _GENERATORS or name in _BABYAI_GENERATORS
+    if _is_babyai(env):
+        return name in _BABYAI_GENERATORS
+    return name in _GENERATORS
 
 
 def reset_exact(env, seed: int, params=None):
@@ -1195,7 +1724,14 @@ def reset_exact(env, seed: int, params=None):
     ``ref_env.reset(seed=seed)`` bit-for-bit."""
     params = params if params is not None else env.default_params
     name = type(env).__name__.replace("Env", "")
-    if name in _BABYAI_GENERATORS:
+    if _is_babyai(env):
+        # BabyAI class names can shadow MiniGrid families (Unlock,
+        # KeyCorridor, UnlockPickup...) — dispatch on the level base class.
+        if name not in _BABYAI_GENERATORS:
+            raise NotImplementedError(
+                f"seed-exact generation not implemented for BabyAI level "
+                f"{type(env).__name__}; supported: "
+                f"{sorted(_BABYAI_GENERATORS)}")
         return _reset_exact_babyai(env, seed, params,
                                    _BABYAI_GENERATORS[name])
     try:
@@ -1203,7 +1739,7 @@ def reset_exact(env, seed: int, params=None):
     except KeyError:
         raise NotImplementedError(
             f"seed-exact generation not implemented for {type(env).__name__};"
-            f" supported: {sorted(_GENERATORS) + sorted(_BABYAI_GENERATORS)}"
+            f" supported: {sorted(_GENERATORS)}"
         ) from None
     g = _HostGrid(_np_random(seed), params.width, params.height)
     payload = gen(env, g) or {}

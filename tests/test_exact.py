@@ -25,16 +25,52 @@ def _case(name):
     import minigrid.envs as R
     import minigrid.envs.babyai.goto as RB
     import minigrid.envs.babyai.open as RO
+    import minigrid.envs.babyai.other as ROt
     import minigrid.envs.babyai.pickup as RP
     import minigrid.envs.babyai.putnext as RPN
+    import minigrid.envs.babyai.synth as RSy
+    import minigrid.envs.babyai.unlock as RUn
 
     import minigrid_tpu.babyai.goto as EB
     import minigrid_tpu.babyai.open as EO
+    import minigrid_tpu.babyai.other as EOt
     import minigrid_tpu.babyai.pickup as EP
     import minigrid_tpu.babyai.putnext as EPN
+    import minigrid_tpu.babyai.synth as ESy
+    import minigrid_tpu.babyai.unlock as EUn
     import minigrid_tpu.envs as E
 
     return {
+        "babyai_goto_maze": (lambda: RB.GoTo(), lambda: EB.GoTo()),
+        "babyai_goto_open": (lambda: RB.GoTo(doors_open=True),
+                             lambda: EB.GoTo(doors_open=True)),
+        "babyai_gotoimpunlock": (lambda: RB.GoToImpUnlock(),
+                                 lambda: EB.GoToImpUnlock()),
+        "babyai_gotoredblueball": (lambda: RB.GoToRedBlueBall(),
+                                   lambda: EB.GoToRedBlueBall()),
+        "babyai_gotoobjdoor": (lambda: RB.GoToObjDoor(),
+                               lambda: EB.GoToObjDoor()),
+        "babyai_unlock": (lambda: RUn.Unlock(), lambda: EUn.Unlock()),
+        "babyai_keyinbox": (lambda: RUn.KeyInBox(), lambda: EUn.KeyInBox()),
+        "babyai_unlockpickup": (lambda: RUn.UnlockPickup(),
+                                lambda: EUn.UnlockPickup()),
+        "babyai_unlocktounlock": (lambda: RUn.UnlockToUnlock(),
+                                  lambda: EUn.UnlockToUnlock()),
+        "babyai_actionobjdoor": (lambda: ROt.ActionObjDoor(),
+                                 lambda: EOt.ActionObjDoor()),
+        "babyai_keycorridor": (lambda: ROt.KeyCorridor(),
+                               lambda: EOt.KeyCorridor()),
+        "babyai_movetwoacross": (
+            lambda: ROt.MoveTwoAcross(room_size=6, objs_per_room=4),
+            lambda: EOt.MoveTwoAcross(room_size=6, objs_per_room=4)),
+        "babyai_pickuploc": (lambda: RP.PickupLoc(),
+                             lambda: EP.PickupLoc()),
+        "babyai_synth": (lambda: RSy.Synth(), lambda: ESy.Synth()),
+        "babyai_synthseq": (lambda: RSy.SynthSeq(), lambda: ESy.SynthSeq()),
+        "babyai_minibosslevel": (lambda: RSy.MiniBossLevel(),
+                                 lambda: ESy.MiniBossLevel()),
+        "babyai_bosslevel": (lambda: RSy.BossLevel(),
+                             lambda: ESy.BossLevel()),
         "babyai_gotoredball": (lambda: RB.GoToRedBall(),
                                lambda: EB.GoToRedBall()),
         "babyai_gotoredballgrey": (lambda: RB.GoToRedBallGrey(),
@@ -118,7 +154,13 @@ CASES = ["empty_random", "doorkey", "lavagap", "fourrooms",
          "babyai_gotolocal", "babyai_pickup", "babyai_unblockpickup",
          "babyai_pickupdist", "babyai_pickupabove", "babyai_open",
          "babyai_opendoor", "babyai_opendoorloc", "babyai_opentwodoors",
-         "babyai_opendoorsorder", "babyai_putnextlocal", "babyai_putnext"]
+         "babyai_opendoorsorder", "babyai_putnextlocal", "babyai_putnext",
+         "babyai_goto_maze", "babyai_goto_open", "babyai_gotoimpunlock",
+         "babyai_gotoredblueball", "babyai_gotoobjdoor", "babyai_unlock",
+         "babyai_keyinbox", "babyai_unlockpickup", "babyai_unlocktounlock",
+         "babyai_actionobjdoor", "babyai_keycorridor",
+         "babyai_movetwoacross", "babyai_pickuploc", "babyai_synth",
+         "babyai_synthseq", "babyai_minibosslevel", "babyai_bosslevel"]
 
 
 @requires_reference
@@ -150,7 +192,9 @@ def test_exact_reset_matches_reference(case, seed):
                                   "multiroom", "keycorridor", "unlock",
                                   "unlockpickup", "babyai_gotoredball",
                                   "babyai_gotolocal", "babyai_pickupdist",
-                                  "babyai_opendoor", "babyai_putnextlocal"])
+                                  "babyai_opendoor", "babyai_putnextlocal",
+                                  "babyai_keyinbox", "babyai_keycorridor",
+                                  "babyai_bosslevel"])
 @pytest.mark.parametrize("seed", [0, 11])
 def test_exact_seed_trajectory_parity(case, seed):
     """From an integer seed only: exact reset, then lockstep trajectory —
