@@ -30,11 +30,18 @@ finalization as the production reset (mission surfaces bit-identical).
 Reference quirks are replicated where they shape the stream: the
 np.int64 identity comparisons in GoToImpUnlock/Unlock that disable the
 key-room retry and the distractor-room filter (goto.py:148-166,
-unlock.py:25-48).  Families whose tasks carry state
-beyond the grid (target descriptors, obstacle lists, success cells) return
-the same ``mission``/``extra`` payloads the on-device generator builds, so
-the tensor ``step`` kernels continue the episode unchanged.  This is a
-host-side tool for parity/eval, not a hot path.
+unlock.py:25-48).  Also the fork's Negated/NegatedSimple (layout and
+target bookkeeping bit-exact; the mission's color-vs-type surface coin is
+drawn by the reference from the UNSEEDED global ``random`` module, so the
+reference itself is not reproducible there).  The remaining fork dataset
+envs (Contrastive*, Directions, Blocks) sample from the global
+``random``/``np.random`` modules and keep mutable split iterators across
+resets — not seed-deterministic upstream, so seed parity is structurally
+undefined for them (documented N/A, not a gap).  Families whose tasks
+carry state beyond the grid (target descriptors, obstacle lists, success
+cells) return the same ``mission``/``extra`` payloads the on-device
+generator builds, so the tensor ``step`` kernels continue the episode
+unchanged.  This is a host-side tool for parity/eval, not a hot path.
 """
 
 from __future__ import annotations
@@ -817,6 +824,47 @@ def _gen_multiroom(env, g: _HostGrid) -> None:
     g.place_obj(_GOAL, room_list[-1][0], room_list[-1][1])
 
 
+def _gen_negated(env, g: _HostGrid) -> dict:
+    """Fork negated_goals.py:148-215: walls, agent, target from the
+    direct/negated split, distractor with different type AND color
+    (color-then-type draw order), template index.
+
+    The mission's color-vs-type surface coin is drawn by the reference
+    from the UNSEEDED global ``random`` module (negated_goals.py:134) —
+    the reference itself is not seed-reproducible there.  The host draw
+    comes from the np_random stream instead (it is the final consumer, so
+    the layout stream is unaffected); everything else is bit-exact."""
+    g.wall_rect(0, 0, g.w, g.h)
+    g.place_agent()
+    if env.mission_type == "EITHER":
+        negated = g.rand_int(0, 2) == 0  # _rand_bool
+    else:
+        negated = env.mission_type == "NEGATED"
+    tgt_types = env._neg_types if negated else env._dir_types
+    tgt_colors = env._neg_colors if negated else env._dir_colors
+    t_type = int(tgt_types[g.rand_int(0, len(tgt_types))])
+    t_color = int(tgt_colors[g.rand_int(0, len(tgt_colors))])
+    t_pos = g.place_obj(np.asarray([t_type, t_color, 0], np.uint8))
+    # distractor opts exclude the target's type and color; reference draws
+    # color FIRST then type (negated_goals.py:165-171)
+    type_opts = [int(t) for t in env._distra_types if int(t) != t_type]
+    color_opts = [int(c) for c in env._all_colors if int(c) != t_color]
+    d_color = _rand_elem(g, color_opts)
+    d_type = _rand_elem(g, type_opts)
+    g.place_obj(np.asarray([d_type, d_color, 0], np.uint8))
+    template = g.rand_int(0, 10)  # _rand_elem(base_templates)
+    use_color = g.rand_int(0, 2) == 0  # see docstring: unseeded upstream
+    desc = d_color if negated else t_color
+    desc_t = d_type if negated else t_type
+    return {
+        "mission": np.asarray(
+            [template, int(negated), int(use_color),
+             desc if use_color else desc_t], np.int32),
+        "extra": {"target": np.asarray([t_type, t_color], np.int32),
+                  "target_cell": np.asarray(t_pos, np.int32)},
+    }
+
+
 _GENERATORS = {
     "Empty": _gen_empty,
     "DoorKey": _gen_doorkey,
@@ -833,6 +881,8 @@ _GENERATORS = {
     "Memory": _gen_memory,
     "LockedRoom": _gen_lockedroom,
     "MultiRoom": _gen_multiroom,
+    "Negated": _gen_negated,
+    "NegatedSimple": _gen_negated,
     "KeyCorridor": _gen_keycorridor,
     "Unlock": _gen_unlock,
     "UnlockPickup": _gen_unlockpickup,

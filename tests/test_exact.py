@@ -226,3 +226,27 @@ def test_exact_unsupported_raises():
     env = minigrid_tpu.make("MiniGrid-ObstructedMaze-Full-v0")
     with pytest.raises(NotImplementedError):
         reset_exact(env, 0)
+
+
+@requires_reference
+@pytest.mark.parametrize("seed", range(5))
+def test_exact_negated(seed):
+    """Fork NegatedEnv: layout + target bookkeeping bit-exact vs the
+    reference (the mission surface's color-vs-type coin is drawn upstream
+    from the unseeded global `random` module — untestable by design)."""
+    from minigrid.core.constants import COLOR_TO_IDX, OBJECT_TO_IDX
+    from minigrid.envs.negated_goals import NegatedEnv as RNeg
+
+    from minigrid_tpu.envs.negated_goals import NegatedEnv
+
+    ref, env = RNeg(), NegatedEnv()
+    obs_ref, _ = ref.reset(seed=seed)
+    obs, state = reset_exact(env, seed)
+    np.testing.assert_array_equal(
+        np.asarray(ref.grid.encode(), np.uint8), np.asarray(state.grid))
+    assert tuple(np.asarray(state.agent_pos)) == tuple(ref.agent_pos)
+    assert int(state.agent_dir) == ref.agent_dir
+    np.testing.assert_array_equal(obs_ref["image"], np.asarray(obs["image"]))
+    assert int(state.extra["target"][0]) == OBJECT_TO_IDX[ref.target_type]
+    assert int(state.extra["target"][1]) == COLOR_TO_IDX[ref.target_color]
+    assert tuple(np.asarray(state.extra["target_cell"])) == tuple(ref.target_cell)
