@@ -30,7 +30,9 @@ finalization as the production reset (mission surfaces bit-identical).
 Reference quirks are replicated where they shape the stream: the
 np.int64 identity comparisons in GoToImpUnlock/Unlock that disable the
 key-room retry and the distractor-room filter (goto.py:148-166,
-unlock.py:25-48).  Also the fork's Negated/NegatedSimple (layout and
+unlock.py:25-48).  Also Playground, the ObstructedMaze family
+(1Dl*/2Dl*/1Q/2Q/Full — hidden keys land in the box_contains plane), and
+the fork's Negated/NegatedSimple (layout and
 target bookkeeping bit-exact; the mission's color-vs-type surface coin is
 drawn by the reference from the UNSEEDED global ``random`` module, so the
 reference itself is not reproducible there).  The remaining fork dataset
@@ -824,6 +826,91 @@ def _gen_multiroom(env, g: _HostGrid) -> None:
     g.place_obj(_GOAL, room_list[-1][0], room_list[-1][1])
 
 
+def _obst_add_door(g: _HostGrid, rg: _HostRoomGrid, contains, i, j,
+                   door_idx, color, locked, key_in_box, blocked):
+    """ObstructedMazeEnv.add_door (obstructedmaze.py:131-160): base door,
+    blocking ball one cell in front, key (optionally boxed) in the room."""
+    door_color, pos = rg.add_door(i, j, door_idx, color, locked)
+    if blocked:
+        vec = [(1, 0), (0, 1), (-1, 0), (0, -1)][door_idx]
+        g.put(pos[0] - vec[0], pos[1] - vec[1],
+              _obj("ball", C.COLOR_TO_IDX["brown"]))  # COLOR_NAMES[1]
+    if locked:
+        if key_in_box:
+            p = rg.place_in_room(
+                i, j, _obj("box", C.COLOR_TO_IDX["cyan"]))  # COLOR_NAMES[2]
+            contains[p[0], p[1]] = _obj("key", C.COLOR_TO_IDX[door_color])
+        else:
+            rg.place_in_room(i, j, _obj("key", C.COLOR_TO_IDX[door_color]))
+    return door_color, pos
+
+
+def _obst_payload(contains) -> dict:
+    blue, ball = C.COLOR_TO_IDX["blue"], C.OBJECT_TO_IDX["ball"]
+    return {
+        "mission": np.asarray([blue, ball, 0, 0], np.int32),
+        "extra": np.asarray([ball, blue], np.int32),
+        "box_contains": jnp.asarray(contains),
+    }
+
+
+def _gen_obstructed_1dlhb(env, g: _HostGrid) -> dict:
+    """obstructedmaze.py:163-189 (1Dl / 1Dlh / 1Dlhb by flags)."""
+    rg = _HostRoomGrid(g, env.room_size, 1, 2)
+    door_colors = _rand_subset(g, _SORTED_COLORS, len(_SORTED_COLORS))
+    contains = np.broadcast_to(_EMPTY, (g.w, g.h, 3)).copy()
+    _obst_add_door(g, rg, contains, 0, 0, 0, door_colors[0], True,
+                   env.key_in_box, env.blocked)
+    rg.add_object(1, 0, "ball", "blue")
+    rg.place_agent(0, 0)
+    return _obst_payload(contains)
+
+
+def _gen_obstructed_full(env, g: _HostGrid) -> dict:
+    """obstructedmaze.py:192-264 (Full / 2Dl* / 1Q / 2Q by presets)."""
+    rg = _HostRoomGrid(g, env.room_size, 3, 3)
+    door_colors = _rand_subset(g, _SORTED_COLORS, len(_SORTED_COLORS))
+    contains = np.broadcast_to(_EMPTY, (g.w, g.h, 3)).copy()
+    side_rooms = [(2, 1), (1, 2), (0, 1), (1, 0)][: env.num_quarters]
+    for i, side in enumerate(side_rooms):
+        rg.add_door(1, 1, i, door_colors[i], False)
+        for k in (-1, 1):
+            _obst_add_door(g, rg, contains, side[0], side[1], (i + k) % 4,
+                           door_colors[(i + k) % len(door_colors)], True,
+                           env.key_in_box, env.blocked)
+    corners = [(2, 0), (2, 2), (0, 2), (0, 0)][: env.num_quarters]
+    ball_room = _rand_elem(g, corners)
+    rg.add_object(ball_room[0], ball_room[1], "ball", "blue")
+    rg.place_agent(*env.agent_room)
+    return _obst_payload(contains)
+
+
+def _gen_playground(env, g: _HostGrid) -> None:
+    """envs/playground.py:30-90: custom 3x3 lattice (NOT RoomGrid), one
+    colored closed door per internal wall segment, 12 random objects."""
+    g.wall_rect(0, 0, g.w, g.h)
+    room_w, room_h = g.w // 3, g.h // 3
+    for j in range(3):
+        for i in range(3):
+            xl, yt = i * room_w, j * room_h
+            xr, yb = xl + room_w, yt + room_h
+            if i + 1 < 3:
+                g.vert_wall(xr, yt, room_h)
+                y = g.rand_int(yt + 1, yb - 1)
+                color = _rand_elem(g, _SORTED_COLORS)
+                g.put(xr, y, _door(C.COLOR_TO_IDX[color]))
+            if j + 1 < 3:
+                g.horz_wall(xl, yb, room_w)
+                x = g.rand_int(xl + 1, xr - 1)
+                color = _rand_elem(g, _SORTED_COLORS)
+                g.put(x, yb, _door(C.COLOR_TO_IDX[color]))
+    g.place_agent()
+    for _ in range(12):
+        t = _rand_elem(g, ["key", "ball", "box"])
+        color = _rand_elem(g, _SORTED_COLORS)
+        g.place_obj(_obj(t, C.COLOR_TO_IDX[color]))
+
+
 def _gen_negated(env, g: _HostGrid) -> dict:
     """Fork negated_goals.py:148-215: walls, agent, target from the
     direct/negated split, distractor with different type AND color
@@ -883,6 +970,12 @@ _GENERATORS = {
     "MultiRoom": _gen_multiroom,
     "Negated": _gen_negated,
     "NegatedSimple": _gen_negated,
+    "Playground": _gen_playground,
+    "ObstructedMaze_1Dlhb": _gen_obstructed_1dlhb,
+    "ObstructedMaze_Full": _gen_obstructed_full,
+    "ObstructedMaze_2Dl": _gen_obstructed_full,
+    "ObstructedMaze_2Dlh": _gen_obstructed_full,
+    "ObstructedMaze_2Dlhb": _gen_obstructed_full,
     "KeyCorridor": _gen_keycorridor,
     "Unlock": _gen_unlock,
     "UnlockPickup": _gen_unlockpickup,
@@ -1800,12 +1893,15 @@ def reset_exact(env, seed: int, params=None):
         kw["mission"] = jnp.asarray(payload["mission"])
     if "extra" in payload:
         kw["extra"] = jax.tree_util.tree_map(jnp.asarray, payload["extra"])
+    if "box_contains" in payload:
+        kw["box_contains"] = jnp.asarray(payload["box_contains"])
+        kw["has_boxes"] = True
+    kw.setdefault("has_boxes", False)
     state = base_state(
         jnp.asarray(g.grid),
         jnp.asarray(g.agent_pos, jnp.int32),
         jnp.asarray(g.agent_dir, jnp.int32),
         rng=_fold_seed(seed),
-        has_boxes=False,
         **kw,
     )
     return env.observation(state, params), state

@@ -250,3 +250,40 @@ def test_exact_negated(seed):
     assert int(state.extra["target"][0]) == OBJECT_TO_IDX[ref.target_type]
     assert int(state.extra["target"][1]) == COLOR_TO_IDX[ref.target_color]
     assert tuple(np.asarray(state.extra["target_cell"])) == tuple(ref.target_cell)
+
+
+@requires_reference
+@pytest.mark.parametrize("case", ["playground", "obstructed_1dlhb",
+                                  "obstructed_2dlhb", "obstructed_full"])
+@pytest.mark.parametrize("seed", range(3))
+def test_exact_obstructed_playground(case, seed):
+    """Playground's custom lattice and the ObstructedMaze family (hidden
+    keys land in the box_contains plane) reset bit-exactly."""
+    import minigrid.envs.obstructedmaze as RO
+    import minigrid.envs.playground as RPl
+
+    import minigrid_tpu.envs.obstructedmaze as EO
+    import minigrid_tpu.envs.playground as EPl
+
+    ref_f, env_f = {
+        "playground": (RPl.PlaygroundEnv, EPl.PlaygroundEnv),
+        "obstructed_1dlhb": (RO.ObstructedMaze_1Dlhb, EO.ObstructedMaze_1Dlhb),
+        "obstructed_2dlhb": (RO.ObstructedMaze_2Dlhb, EO.ObstructedMaze_2Dlhb),
+        "obstructed_full": (RO.ObstructedMaze_Full, EO.ObstructedMaze_Full),
+    }[case]
+    ref, env = ref_f(), env_f()
+    obs_ref, _ = ref.reset(seed=seed)
+    obs, state = reset_exact(env, seed)
+    np.testing.assert_array_equal(
+        np.asarray(ref.grid.encode(), np.uint8), np.asarray(state.grid))
+    assert tuple(np.asarray(state.agent_pos)) == tuple(ref.agent_pos)
+    assert int(state.agent_dir) == ref.agent_dir
+    np.testing.assert_array_equal(obs_ref["image"], np.asarray(obs["image"]))
+    if case != "playground":
+        from minigrid.core.constants import OBJECT_TO_IDX as OI
+        for i in range(ref.grid.width):
+            for j in range(ref.grid.height):
+                c = ref.grid.get(i, j)
+                if c is not None and c.type == "box" and c.contains:
+                    bc = np.asarray(state.box_contains)[i, j]
+                    assert bc[0] == OI[c.contains.type]
