@@ -223,7 +223,10 @@ def test_exact_seed_trajectory_parity(case, seed):
 def test_exact_unsupported_raises():
     import minigrid_tpu
 
-    env = minigrid_tpu.make("MiniGrid-ObstructedMaze-Full-v0")
+    # the fork dataset envs are the one family class reset_exact cannot
+    # cover: the reference samples them from the unseeded global
+    # random/np.random modules (see utils/exact.py module docstring)
+    env = minigrid_tpu.make("ContrastiveDataset-v0")
     with pytest.raises(NotImplementedError):
         reset_exact(env, 0)
 
