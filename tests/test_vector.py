@@ -190,3 +190,50 @@ def test_pooled_best_effort_refill():
     venv2 = VectorEnv(env, num_envs=64, reset_strategy="pooled",
                       pool_refill=16, strict_refill=True)
     assert not venv2.best_effort_refill
+
+
+def test_best_effort_refill_distribution():
+    """Best-effort-served levels keep the valid-conditioned distribution:
+    at a forced 50% reject rate the red-ball cell histogram of episodes
+    served through the pool must match direct (retry-loop) generation."""
+    from tests.test_distributions import chi2_same
+    from minigrid_tpu.babyai.goto import GoToRedBallGrey
+    from minigrid_tpu.core import constants as C
+
+    class Flaky(GoToRedBallGrey):
+        def gen_level(self, key, params):
+            b, instr, articles, valid = super().gen_level(key, params)
+            coin = jax.random.bernoulli(jax.random.fold_in(key, 99))
+            return b, instr, articles, valid & coin
+
+    env = Flaky()
+    params = env.default_params
+
+    # direct: generate() keeps the fueled retry loop -> valid-conditioned
+    gen = jax.jit(jax.vmap(lambda k: env.generate(k, params)))
+    direct = gen(jax.random.split(jax.random.PRNGKey(11), 400))
+    dg = np.asarray(direct.grid)
+
+    # pooled best-effort: harvest levels as episodes turn over
+    venv = VectorEnv(env, num_envs=64, reset_strategy="pooled",
+                     pool_refill=16)
+    assert venv.best_effort_refill
+    obs, state = venv.reset(jax.random.PRNGKey(12))
+    key = jax.random.PRNGKey(13)
+    harvested = []
+    prev_count = np.zeros(64, np.int64)
+    for t in range(240):
+        key, k = jax.random.split(key)
+        a = jax.random.randint(k, (64,), 0, env.num_actions, dtype=jnp.int32)
+        obs, state, r, te, tr, _ = venv.step(state, a)
+        done = np.asarray(te | tr)
+        if done.any():
+            harvested.append(np.asarray(state.envs.grid)[done])
+    pg = np.concatenate(harvested)
+    assert len(pg) >= 200, len(pg)
+
+    red_ball = lambda g: tuple(  # noqa: E731
+        np.argwhere((g[..., 0] == C.OBJECT_TO_IDX["ball"])
+                    & (g[..., 1] == C.COLOR_TO_IDX["red"]))[0])
+    chi2_same([red_ball(g) for g in dg], [red_ball(g) for g in pg],
+              "best-effort-vs-direct red ball cell", alpha=1e-5)
