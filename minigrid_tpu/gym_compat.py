@@ -52,10 +52,16 @@ class GymEnv(gym.Env):
     metadata = {"render_modes": ["rgb_array", "human"], "render_fps": 10}
 
     def __init__(self, env: Env | str, render_mode: str | None = None,
-                 **kwargs: Any):
+                 exact_seed: bool = False, **kwargs: Any):
         self.fenv = make_functional(env, **kwargs) if isinstance(env, str) else env
         self.params = self.fenv.default_params
         self.render_mode = render_mode
+        # exact_seed: reset(seed=s) replays the reference's np_random call
+        # order host-side (utils/exact.reset_exact), so the episode is
+        # bit-identical to ref_env.reset(seed=s) — reference users switching
+        # over keep their seeds.  Off by default: the on-device jax.random
+        # generator is the production path.
+        self.exact_seed = exact_seed
         self._state = None
         self._key = jax.random.PRNGKey(0)
         self._window = None
@@ -90,6 +96,14 @@ class GymEnv(gym.Env):
     # -- gym protocol ---------------------------------------------------------
     def reset(self, *, seed: int | None = None, options: dict | None = None):
         super().reset(seed=seed)
+        if self.exact_seed and seed is not None:
+            from minigrid_tpu.utils.exact import reset_exact
+
+            obs, self._state = reset_exact(self.fenv, seed, self.params)
+            self._key = jax.random.PRNGKey(seed)
+            if self.render_mode == "human":
+                self.render()
+            return self._host_obs(obs), {}
         if seed is not None:
             self._key = jax.random.PRNGKey(seed)
         self._key, k = jax.random.split(self._key)

@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 import minigrid_tpu.gym_compat as gc
+from tests.conftest import requires_reference
 
 
 def test_gym_env_reset_step_protocol():
@@ -136,3 +137,33 @@ def test_ascii_render_matches_reference():
     env.reset(seed=0)
     env._state = from_reference(ref)
     assert str(env) == str(ref)
+
+
+@requires_reference
+def test_gym_exact_seed_matches_reference():
+    """GymEnv(exact_seed=True): gym.reset(seed=s) is bit-identical to the
+    reference env's reset(seed=s) — full episode lockstep through the
+    standard Gymnasium API."""
+    import numpy as np
+
+    from minigrid.envs import DoorKeyEnv as RefDoorKey
+
+    from minigrid_tpu.envs import DoorKeyEnv
+    from minigrid_tpu.gym_compat import GymEnv
+
+    ref = RefDoorKey(size=8)
+    env = GymEnv(DoorKeyEnv(size=8), exact_seed=True)
+    for seed in (0, 5):
+        obs_ref, _ = ref.reset(seed=seed)
+        obs, _ = env.reset(seed=seed)
+        np.testing.assert_array_equal(obs_ref["image"], obs["image"])
+        assert obs_ref["direction"] == obs["direction"]
+        rng = np.random.default_rng(seed)
+        for t in range(60):
+            a = int(rng.integers(0, 7))
+            o_r, r_r, te_r, tr_r, _ = ref.step(a)
+            o, r, te, tr, _ = env.step(a)
+            np.testing.assert_array_equal(o_r["image"], o["image"])
+            assert abs(r_r - r) < 1e-6 and te_r == te and tr_r == tr
+            if te or tr:
+                break
