@@ -290,3 +290,21 @@ def test_exact_obstructed_playground(case, seed):
                 if c is not None and c.type == "box" and c.contains:
                     bc = np.asarray(state.box_contains)[i, j]
                     assert bc[0] == OI[c.contains.type]
+
+
+def test_exact_supported_for_every_registered_id():
+    """Registry-wide invariant: every id is seed-exact-supported except the
+    four fork dataset envs (not seed-deterministic upstream — global
+    random/np.random, see utils/exact.py)."""
+    import minigrid_tpu
+
+    unsupported = sorted(
+        i for i in minigrid_tpu.registered_ids()
+        if not supported(minigrid_tpu.make(i))
+    )
+    assert unsupported == [
+        "BlocksDataset-v0",
+        "ContrastiveDataset-v0",
+        "ContrastiveTrajectoryDataset-v0",
+        "DirectionsDataset-v0",
+    ], unsupported
