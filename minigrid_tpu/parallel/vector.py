@@ -136,13 +136,24 @@ class VectorEnv:
                 f"pool_refill={pool_refill} must divide 2*num_envs={2*num_envs}"
             )
         self.pool_refill = pool_refill
-        # Best-effort refill (see the refill block in _step): one gen body
-        # per slot, invalid draws keep the slot's previous valid level.
-        # `strict_refill=True` restores the always-fresh retry-loop refill.
+        # Best-effort mode (default for pooled): every pool slot holds a
+        # valid level AT ALL TIMES (the initial fill is validated; refill
+        # either writes a validated level or keeps the previous one), so
+        #   * consume never needs a regeneration fallback — an env that
+        #     misses both fresh slots replays its primary slot's previous
+        #     valid level (a "stale replay"), deleting the per-step
+        #     lax.cond and its B-wide generation branch from the compiled
+        #     step (scalar conds stall the TPU pipeline even when untaken);
+        #   * refill runs ONE unvalidated gen body per slot when the env
+        #     exposes `generate_attempt`, keeping the old level on an
+        #     invalid draw.
+        # Served levels stay exactly valid-conditioned; only independence
+        # across episodes weakens (stale replays repeat an earlier valid
+        # draw).  `strict_refill=True` restores always-fresh levels: the
+        # retry-loop refill plus the cond regeneration fallback.
+        self.best_effort = not strict_refill and reset_strategy == "pooled"
         self.best_effort_refill = (
-            not strict_refill
-            and hasattr(env, "generate_attempt")
-            and reset_strategy == "pooled"
+            self.best_effort and hasattr(env, "generate_attempt")
         )
 
         params_ = self.params
@@ -242,24 +253,37 @@ class VectorEnv:
             f_lo, f_hi = flags[:B], flags[B:]
             use_lo = done & f_lo
             use_hi = done & ~f_lo & f_hi
-            covered = use_lo | use_hi
-            fresh_states = tree_select(use_lo, lo, hi)
-            new_envs = tree_select(covered, fresh_states, next_state)
-            flags = jnp.concatenate([f_lo & ~use_lo, f_hi & ~use_hi])
+            flags_next = jnp.concatenate([f_lo & ~use_lo, f_hi & ~use_hi])
+            if self.best_effort:
+                # Stale replay: both slots unfresh -> take the primary
+                # slot's previous valid level.  Every slot always holds a
+                # valid level in best-effort mode, so no regeneration
+                # fallback exists in the program at all — no per-step
+                # lax.cond (a scalar cond stalls the pipeline even when
+                # untaken) and no B-wide generation branch to compile.
+                fresh_states = tree_select(use_hi, hi, lo)
+                new_envs = tree_select(done, fresh_states, next_state)
+                flags = flags_next
+            else:
+                covered = use_lo | use_hi
+                fresh_states = tree_select(use_lo, lo, hi)
+                new_envs = tree_select(covered, fresh_states, next_state)
+                flags = flags_next
 
-            # rare fallback (an env missed both slots): per-env chunked
-            # regeneration under a batch cond.  (Measured dead end: a
-            # compacted argsort+gather+scatter fallback is F-wide instead of
-            # B-wide, but its mere presence in the cond branch drags the
-            # whole program from 7.2M to 0.9M steps/s — the scatter forces
-            # layouts on the env state that tax every step.)
-            uncovered = done & ~covered
-            new_envs = jax.lax.cond(
-                jnp.any(uncovered),
-                lambda ns: _regen_masked(ns, uncovered),
-                lambda ns: ns,
-                new_envs,
-            )
+                # strict mode's rare fallback (an env missed both slots):
+                # per-env chunked regeneration under a batch cond.
+                # (Measured dead end: a compacted argsort+gather+scatter
+                # fallback is F-wide instead of B-wide, but its mere
+                # presence in the cond branch drags the whole program from
+                # 7.2M to 0.9M steps/s — the scatter forces layouts on the
+                # env state that tax every step.)
+                uncovered = done & ~covered
+                new_envs = jax.lax.cond(
+                    jnp.any(uncovered),
+                    lambda ns: _regen_masked(ns, uncovered),
+                    lambda ns: ns,
+                    new_envs,
+                )
 
             # refill the rotating contiguous window with C fresh iid levels.
             #

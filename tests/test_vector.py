@@ -97,14 +97,15 @@ def test_pooled_autoreset_semantics():
     assert keys.reshape(8, -1).any(axis=1).all()
 
 
-def test_pooled_underflow_fallback():
-    """A synchronized done burst larger than the pool falls back to per-env
-    regeneration — auto-reset semantics hold regardless of pool state."""
+def test_pooled_underflow_fallback_strict():
+    """Strict mode: a synchronized done burst larger than the pool falls
+    back to per-env regeneration — every served level is brand new."""
     env = minigrid_tpu.make("MiniGrid-KeyCorridorS3R1-v0")
     # refill window of 1: repeated truncation bursts outpace the rotation
     # and must hit the fallback path
     venv = VectorEnv(env, num_envs=8, reset_strategy="pooled",
-                     pool_refill=1)
+                     pool_refill=1, strict_refill=True)
+    assert not venv.best_effort
     obs, state = venv.reset(jax.random.PRNGKey(1))
     stay = jnp.full((8,), 6, dtype=jnp.int32)
     for _ in range(int(env.max_steps)):
@@ -113,6 +114,44 @@ def test_pooled_underflow_fallback():
     assert bool(jnp.all(state.envs.step_count == 0))
     grids = np.asarray(state.envs.grid)
     assert not all(np.array_equal(grids[0], grids[i]) for i in range(1, 8))
+
+
+def test_pooled_stale_replay_best_effort():
+    """Best-effort consume: an env that misses both fresh slots replays its
+    primary slot's previous valid level (stale replay) — the compiled step
+    carries no regeneration fallback, yet auto-reset semantics hold."""
+    from minigrid_tpu.core import constants as C
+
+    # tiny max_steps so truncation bursts outpace the 1-slot/step rotation
+    env = minigrid_tpu.make("MiniGrid-KeyCorridorS3R1-v0", max_steps=3)
+    venv = VectorEnv(env, num_envs=8, reset_strategy="pooled",
+                     pool_refill=1)
+    assert venv.best_effort
+    obs, state = venv.reset(jax.random.PRNGKey(2))
+    stay = jnp.full((8,), 6, dtype=jnp.int32)
+    replayed = False
+    for burst in range(6):
+        for _ in range(2):
+            obs, state, reward, term, trunc, info = venv.step(state, stay)
+        # snapshot immediately before the truncating step: consume reads the
+        # pre-refill pool, so this is exactly what a stale env will replay
+        lo_before = np.asarray(state.pool.grid[:8])
+        fresh_before = np.asarray(state.fresh)
+        obs, state, reward, term, trunc, info = venv.step(state, stay)
+        assert bool(jnp.all(trunc))
+        # every env starts a new, VALID episode (valid KeyCorridor levels
+        # always carry a key), even with the pool exhausted
+        assert bool(jnp.all(state.envs.step_count == 0))
+        g = np.asarray(state.envs.grid)
+        assert (g[..., 0] == C.OBJECT_TO_IDX["key"]).reshape(8, -1).any(
+            axis=1).all()
+        # an env whose both slots were unfresh must have replayed its
+        # primary slot's previous level verbatim
+        stale = ~fresh_before[:8] & ~fresh_before[8:]
+        for b in np.flatnonzero(stale):
+            assert np.array_equal(g[b], lo_before[b])
+            replayed = True
+    assert replayed  # the stale path was actually exercised
 
 
 def test_pooled_levels_match_direct_generation_distribution():
