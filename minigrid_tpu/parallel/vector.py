@@ -244,10 +244,22 @@ class VectorEnv:
                 return obs, new_state, reward, terminated, truncated, info
 
             # ---- pooled auto-reset (gather/scatter-free) --------------------
-            B, C = num_envs, self.pool_refill
-            pool, flags = state.pool, state.fresh
+            new_envs, flags = _consume(state.pool, state.fresh, next_state,
+                                       done)
+            pool, fresh, tick, key = _refill_windows(
+                state.pool, flags, state.tick, state.key, 1)
+            new_state = PooledState(envs=new_envs, pool=pool, fresh=fresh,
+                                    tick=tick, key=key)
+            obs, reward, terminated, truncated, info = _finish(
+                next_state, new_envs, reward, terminated, truncated)
+            return obs, new_state, reward, terminated, truncated, info
 
-            # consume: env b prefers its primary slot b, else secondary b+B
+        def _consume(pool, flags, next_state, done):
+            """Pooled consume: done envs take a level from their slot pair.
+
+            Env b prefers its primary slot b, else secondary b+B.  Returns
+            (new_envs, updated freshness flags)."""
+            B = num_envs
             lo = jax.tree_util.tree_map(lambda p: p[:B], pool)
             hi = jax.tree_util.tree_map(lambda p: p[B:], pool)
             f_lo, f_hi = flags[:B], flags[B:]
@@ -262,80 +274,125 @@ class VectorEnv:
                 # lax.cond (a scalar cond stalls the pipeline even when
                 # untaken) and no B-wide generation branch to compile.
                 fresh_states = tree_select(use_hi, hi, lo)
-                new_envs = tree_select(done, fresh_states, next_state)
-                flags = flags_next
-            else:
-                covered = use_lo | use_hi
-                fresh_states = tree_select(use_lo, lo, hi)
-                new_envs = tree_select(covered, fresh_states, next_state)
-                flags = flags_next
+                return tree_select(done, fresh_states, next_state), flags_next
 
-                # strict mode's rare fallback (an env missed both slots):
-                # per-env chunked regeneration under a batch cond.
-                # (Measured dead end: a compacted argsort+gather+scatter
-                # fallback is F-wide instead of B-wide, but its mere
-                # presence in the cond branch drags the whole program from
-                # 7.2M to 0.9M steps/s — the scatter forces layouts on the
-                # env state that tax every step.)
-                uncovered = done & ~covered
-                new_envs = jax.lax.cond(
-                    jnp.any(uncovered),
-                    lambda ns: _regen_masked(ns, uncovered),
-                    lambda ns: ns,
-                    new_envs,
-                )
+            covered = use_lo | use_hi
+            fresh_states = tree_select(use_lo, lo, hi)
+            new_envs = tree_select(covered, fresh_states, next_state)
 
-            # refill the rotating contiguous window with C fresh iid levels.
-            #
-            # Best-effort mode (default when the env exposes
-            # `generate_attempt`): ONE unvalidated gen body; an invalid draw
-            # (~11% for BabyAI reachability) keeps the slot's PREVIOUS level
-            # and still marks the slot fresh — the served episode replays an
-            # earlier valid draw, so the per-episode level distribution is
-            # exactly the valid-conditioned one; only independence across
-            # episodes weakens at the reject rate.  Under vmap the full
-            # retry loop costs max-attempts-across-the-window gen bodies
-            # (~4 at 512-wide refill), the single biggest slice of the
-            # BabyAI step.  (Measured dead end: first-valid-of-2 candidates
-            # with un-fresh invalid slots — the ~2.6% pool misses make the
-            # B-wide fallback cond fire often enough to give back more than
-            # they save: 6.4M vs 7.2M steps/s on GoToRedBall at B=4096.
-            # Keeping the old level instead of un-freshening the slot is
-            # what makes the loop-free refill win.)
-            key, k = jax.random.split(state.key)
-            off = (state.tick * C) % (2 * B)
+            # strict mode's rare fallback (an env missed both slots):
+            # per-env chunked regeneration under a batch cond.
+            # (Measured dead end: a compacted argsort+gather+scatter
+            # fallback is F-wide instead of B-wide, but its mere
+            # presence in the cond branch drags the whole program from
+            # 7.2M to 0.9M steps/s — the scatter forces layouts on the
+            # env state that tax every step.)
+            uncovered = done & ~covered
+            new_envs = jax.lax.cond(
+                jnp.any(uncovered),
+                lambda ns: _regen_masked(ns, uncovered),
+                lambda ns: ns,
+                new_envs,
+            )
+            return new_envs, flags_next
+
+        def _refill_windows(pool, flags, tick, key, windows: int):
+            """Write `windows` contiguous refill windows (windows*C levels)
+            to the rotating ring position and mark them fresh.
+
+            Best-effort mode (default when the env exposes
+            `generate_attempt`): ONE unvalidated gen body per slot; an
+            invalid draw (~11% for BabyAI reachability) keeps the slot's
+            PREVIOUS level and still marks the slot fresh — the served
+            episode replays an earlier valid draw, so the per-episode level
+            distribution is exactly the valid-conditioned one; only
+            independence across episodes weakens at the reject rate.  Under
+            vmap the full retry loop costs max-attempts-across-the-window
+            gen bodies (~4 at 512-wide refill), the single biggest slice of
+            the BabyAI step.  (Measured dead end: first-valid-of-2
+            candidates with un-fresh invalid slots — the ~2.6% pool misses
+            make the B-wide fallback cond fire often enough to give back
+            more than they save: 6.4M vs 7.2M steps/s on GoToRedBall at
+            B=4096.  Keeping the old level instead of un-freshening the
+            slot is what makes the loop-free refill win.)"""
+            B, C = num_envs, self.pool_refill
+            n = windows * C
+            if n >= 2 * B:
+                n = 2 * B  # full-ring rewrite
+            assert (2 * B) % n == 0, (
+                f"windows*pool_refill={n} must divide the ring size {2*B}"
+            )
+            key, k = jax.random.split(key)
+            off = (tick * C) % (2 * B) if n < 2 * B else 0
             if self.best_effort_refill:
-                cand, ok = _gen_many_attempt(jax.random.split(k, C))
+                cand, ok = _gen_many_attempt(jax.random.split(k, n))
                 old = jax.tree_util.tree_map(
-                    lambda p: jax.lax.dynamic_slice_in_dim(p, off, C, axis=0),
+                    lambda p: jax.lax.dynamic_slice_in_dim(p, off, n, axis=0),
                     pool)
                 cand = tree_select(ok, cand, old)
             else:
-                cand = _gen_many(jax.random.split(k, C))
-            cand_valid = jnp.ones((C,), bool)
+                cand = _gen_many(jax.random.split(k, n))
 
             def write(p, c):
                 return jax.lax.dynamic_update_slice_in_dim(p, c, off, axis=0)
 
             pool = jax.tree_util.tree_map(write, pool, cand)
             flags = jax.lax.dynamic_update_slice_in_dim(
-                flags, cand_valid, off, axis=0
+                flags, jnp.ones((n,), bool), off, axis=0
             )
+            return pool, flags, tick + windows, key
 
-            new_state = PooledState(envs=new_envs, pool=pool, fresh=flags,
-                                    tick=state.tick + 1, key=key)
+        def _step_nofill(state, action):
+            """Pooled step WITHOUT the refill: consume-only.
+
+            The refill graph's cost on TPU is its kernel-launch count, not
+            its width (per-fusion launch ~30-100us regardless of tensor
+            size), so running it every step at C-wide costs K times more
+            launches than running it every K steps at K*C-wide.  Drive K
+            no-fill steps then one `refill(state, windows=K)` — the
+            rotation maths are identical on average, misses fall back to
+            stale replays.  See `rollout(refill_period=...)`."""
+            envs = state.envs
+            next_state, reward, terminated, truncated = jax.vmap(
+                lambda s, a: env.step_state(s, a, params_)
+            )(envs, action)
+            done = terminated | truncated
+            new_envs, flags = _consume(state.pool, state.fresh, next_state,
+                                       done)
+            new_state = state.replace(envs=new_envs, fresh=flags)
             obs, reward, terminated, truncated, info = _finish(
                 next_state, new_envs, reward, terminated, truncated)
             return obs, new_state, reward, terminated, truncated, info
 
+        def _refill(state, windows: int):
+            pool, fresh, tick, key = _refill_windows(
+                state.pool, state.fresh, state.tick, state.key, windows)
+            return state.replace(pool=pool, fresh=fresh, tick=tick, key=key)
+
         self._reset = jax.jit(_reset)
         self._step = jax.jit(_step)
+        if pooled:
+            self._step_nofill = jax.jit(_step_nofill)
+            self._refill = jax.jit(_refill, static_argnums=1)
 
     def reset(self, key: jnp.ndarray):
         return self._reset(key)
 
     def step(self, state: EnvState, action: jnp.ndarray):
         return self._step(state, action)
+
+    def step_nofill(self, state: "PooledState", action: jnp.ndarray):
+        """Pooled step without the pool refill (consume-only).
+
+        Pair with :meth:`refill` every K steps to amortize the refill
+        graph's kernel launches (see ``rollout(refill_period=K)``).  Only
+        available for the pooled reset strategy with auto_reset."""
+        return self._step_nofill(state, action)
+
+    def refill(self, state: "PooledState", windows: int = 1):
+        """Write ``windows`` refill windows (``windows * pool_refill``
+        fresh levels) to the pool ring in one contiguous block."""
+        return self._refill(state, windows)
 
 
 def rollout(
@@ -345,11 +402,20 @@ def rollout(
     num_envs: int,
     num_steps: int,
     policy=None,
+    refill_period: int = 1,
+    **venv_kwargs,
 ):
     """lax.scan rollout harness: B envs × T steps entirely on device.
 
     ``policy(key, obs) -> action[B]`` defaults to uniform-random actions.
     Returns (final_state, trajectory dict of stacked [T, B, ...] arrays).
+
+    ``refill_period=K`` (pooled strategy only) restructures the scan as
+    T/K outer iterations of [K consume-only steps + ONE K-window refill]:
+    the refill graph's TPU cost is its kernel-launch count, not its width,
+    so batching K windows into one launch set cuts the per-step refill
+    overhead by K.  Misses during the K-step gap fall back to stale
+    replays (best-effort mode), so auto-reset semantics are unchanged.
     """
     if policy is None:
         def policy(k, obs):
@@ -357,24 +423,48 @@ def rollout(
                 k, (num_envs,), 0, env.num_actions, dtype=jnp.int32
             )
 
-    venv = VectorEnv(env, num_envs, params)
+    venv = VectorEnv(env, num_envs, params, **venv_kwargs)
     key, k_reset = jax.random.split(key)
     obs, state = venv.reset(k_reset)
 
-    def body(carry, k):
-        obs, state = carry
-        action = policy(k, obs)
-        new_obs, new_state, reward, terminated, truncated, _ = venv._step(
-            state, action
+    def make_body(step_fn):
+        def body(carry, k):
+            obs, state = carry
+            action = policy(k, obs)
+            new_obs, new_state, reward, terminated, truncated, _ = step_fn(
+                state, action
+            )
+            out = {
+                "action": action,
+                "reward": reward,
+                "terminated": terminated,
+                "truncated": truncated,
+            }
+            return (new_obs, new_state), out
+        return body
+
+    if refill_period > 1:
+        assert venv.reset_strategy == "pooled" and venv.auto_reset, (
+            "refill_period requires the pooled reset strategy"
         )
-        out = {
-            "action": action,
-            "reward": reward,
-            "terminated": terminated,
-            "truncated": truncated,
-        }
-        return (new_obs, new_state), out
+        K = refill_period
+        assert num_steps % K == 0, (num_steps, K)
+
+        def outer(carry, ks):
+            (obs, state), traj = jax.lax.scan(
+                make_body(venv._step_nofill), carry, ks
+            )
+            state = venv._refill(state, K)
+            return (obs, state), traj
+
+        keys = jax.random.split(key, num_steps).reshape(
+            num_steps // K, K, -1)
+        (obs, state), traj = jax.lax.scan(outer, (obs, state), keys)
+        traj = jax.tree_util.tree_map(
+            lambda x: x.reshape((num_steps,) + x.shape[2:]), traj)
+        return state, traj
 
     keys = jax.random.split(key, num_steps)
-    (obs, state), traj = jax.lax.scan(body, (obs, state), keys)
+    (obs, state), traj = jax.lax.scan(
+        make_body(venv._step), (obs, state), keys)
     return state, traj

@@ -154,6 +154,34 @@ def test_pooled_stale_replay_best_effort():
     assert replayed  # the stale path was actually exercised
 
 
+def test_rollout_refill_period():
+    """Periodic bulk refill (scan-of-scans): K consume-only steps + one
+    K-window refill per outer iteration — auto-reset semantics unchanged,
+    truncation bursts land on schedule, served levels stay valid."""
+    from minigrid_tpu.core import constants as C
+
+    env = minigrid_tpu.make("MiniGrid-KeyCorridorS3R1-v0", max_steps=6)
+    state, traj = rollout(
+        env, env.default_params, jax.random.PRNGKey(5), num_envs=8,
+        num_steps=24, refill_period=4, reset_strategy="pooled",
+        pool_refill=1,
+        policy=lambda k, obs: jnp.full((8,), 6, jnp.int32),  # stay
+    )
+    tr = np.asarray(traj["truncated"])
+    assert tr.shape == (24, 8)
+    # stay-policy episodes truncate exactly every max_steps
+    expect = np.zeros((24, 8), bool)
+    expect[5::6] = True
+    assert np.array_equal(tr, expect)
+    # every env currently sits in a fresh, valid level
+    assert bool(jnp.all(state.envs.step_count == 0))
+    g = np.asarray(state.envs.grid)
+    assert (g[..., 0] == C.OBJECT_TO_IDX["key"]).reshape(8, -1).any(
+        axis=1).all()
+    # the ring advanced in K-window blocks: 24/4 outer refills of 4 slots
+    assert int(state.tick) == 24
+
+
 def test_pooled_levels_match_direct_generation_distribution():
     """Levels consumed from the pool are iid draws from the same generator:
     compare a layout statistic of pool-consumed levels vs direct resets."""
