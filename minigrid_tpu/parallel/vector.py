@@ -163,8 +163,12 @@ class VectorEnv:
         # the compiled generator graph and its live memory at chunk width
         # instead of B — the difference between BabyAI BossLevel compiling at
         # B=4096 and faulting the chip.
+        # Only expensive generators need chunking (their graphs are what
+        # blows up compile size / live memory); a cheap generator driven
+        # through the pooled strategy should keep full-width vmap — a
+        # lax.map chunk loop would serialize its launches for no benefit.
         expensive = getattr(env, "expensive_generation", False)
-        gen_chunk = min(128, num_envs) if (pooled or expensive) else num_envs
+        gen_chunk = min(128, num_envs) if expensive else num_envs
 
         def _gen_many(keys):
             if keys.shape[0] <= gen_chunk:
