@@ -51,6 +51,12 @@ class PPOConfig:
     # Bootstrap truncated-but-not-terminated steps from V(final pre-reset
     # obs) rather than zero.  Costs one extra network apply per rollout step.
     bootstrap_truncated: bool = struct.field(pytree_node=False, default=True)
+    # Pooled-strategy envs only: run the level-pool refill once every K
+    # rollout steps at K-windows width instead of every step — the refill
+    # graph's TPU cost is its kernel-launch count, not its width
+    # (parallel/vector.py::rollout has the same knob).  Ignored unless the
+    # env resolves to the pooled reset strategy.  Must divide num_steps.
+    refill_period: int = struct.field(pytree_node=False, default=1)
 
 
 @struct.dataclass
@@ -317,47 +323,76 @@ class PPO:
             )
 
         # ---- rollout: T steps under one scan --------------------------------
-        def env_step(carry, _):
-            train_state, env_state, obs, key, stats = carry
-            key, k_act = jax.random.split(key)
-            logits, value = train_state.apply_fn(train_state.params, obs)
-            action = jax.random.categorical(k_act, logits)
-            log_prob = jnp.take_along_axis(
-                jax.nn.log_softmax(logits), action[:, None], axis=-1
-            ).squeeze(-1)
-            new_obs, new_env_state, reward, term, trunc, info = self.venv._step(
-                env_state, action
-            )
-            new_env_state = constrain_batch(new_env_state)
-            new_obs = constrain_batch(new_obs)
-            done = term | trunc
-            stats = stats.update(reward, done)
-            transition = {
-                "obs": obs,
-                "action": action,
-                "log_prob": log_prob,
-                "value": value,
-                "reward": reward,
-                "done": done,
-            }
-            if cfg.bootstrap_truncated:
-                # V(final pre-reset obs) for the time-limit bootstrap; a
-                # terminated step keeps the zero bootstrap (term dominates
-                # if both flags fire on the same step).
-                _, final_value = train_state.apply_fn(
-                    train_state.params, info["final_obs"]
+        def make_env_step(step_fn):
+            def env_step(carry, _):
+                train_state, env_state, obs, key, stats = carry
+                key, k_act = jax.random.split(key)
+                logits, value = train_state.apply_fn(train_state.params, obs)
+                action = jax.random.categorical(k_act, logits)
+                log_prob = jnp.take_along_axis(
+                    jax.nn.log_softmax(logits), action[:, None], axis=-1
+                ).squeeze(-1)
+                new_obs, new_env_state, reward, term, trunc, info = step_fn(
+                    env_state, action
                 )
-                transition["truncated"] = trunc & ~term
-                transition["trunc_value"] = final_value
-            return (train_state, new_env_state, new_obs, key,
-                    stats), transition
+                new_env_state = constrain_batch(new_env_state)
+                new_obs = constrain_batch(new_obs)
+                done = term | trunc
+                stats = stats.update(reward, done)
+                transition = {
+                    "obs": obs,
+                    "action": action,
+                    "log_prob": log_prob,
+                    "value": value,
+                    "reward": reward,
+                    "done": done,
+                }
+                if cfg.bootstrap_truncated:
+                    # V(final pre-reset obs) for the time-limit bootstrap; a
+                    # terminated step keeps the zero bootstrap (term dominates
+                    # if both flags fire on the same step).
+                    _, final_value = train_state.apply_fn(
+                        train_state.params, info["final_obs"]
+                    )
+                    transition["truncated"] = trunc & ~term
+                    transition["trunc_value"] = final_value
+                return (train_state, new_env_state, new_obs, key,
+                        stats), transition
+            return env_step
 
-        (train_state, env_state, obs, key, stats), traj = jax.lax.scan(
-            env_step,
-            (train_state, env_state, obs, key, stats),
-            None,
-            length=cfg.num_steps,
-        )
+        K = (cfg.refill_period
+             if (self.venv.reset_strategy == "pooled" and self.venv.auto_reset)
+             else 1)
+        if K > 1:
+            # scan-of-scans: K consume-only steps, then ONE K-window bulk
+            # refill — same level throughput, 1/K the refill launches.
+            assert cfg.num_steps % K == 0, (cfg.num_steps, K)
+
+            def outer(carry, _):
+                carry, traj = jax.lax.scan(
+                    make_env_step(self.venv._step_nofill), carry, None,
+                    length=K,
+                )
+                train_state, env_state, obs, key, stats = carry
+                env_state = constrain_batch(self.venv._refill(env_state, K))
+                return (train_state, env_state, obs, key, stats), traj
+
+            (train_state, env_state, obs, key, stats), traj = jax.lax.scan(
+                outer,
+                (train_state, env_state, obs, key, stats),
+                None,
+                length=cfg.num_steps // K,
+            )
+            traj = jax.tree_util.tree_map(
+                lambda x: x.reshape((cfg.num_steps,) + x.shape[2:]), traj
+            )
+        else:
+            (train_state, env_state, obs, key, stats), traj = jax.lax.scan(
+                make_env_step(self.venv._step),
+                (train_state, env_state, obs, key, stats),
+                None,
+                length=cfg.num_steps,
+            )
 
         _, last_value = train_state.apply_fn(train_state.params, obs)
         advantages, targets = compute_gae(

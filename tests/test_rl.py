@@ -92,6 +92,38 @@ def test_ppo_update_runs_and_learns_signal():
     assert int(runner[0].step) == cfg.update_epochs * cfg.num_minibatches
 
 
+def test_ppo_pooled_refill_period():
+    """PPO on a pooled-strategy env with periodic bulk refill: the update
+    runs, params move, metrics stay finite."""
+    env = minigrid_tpu.make("BabyAI-GoToRedBallGrey-v0")
+    cfg = PPOConfig(num_envs=8, num_steps=16, num_updates=1,
+                    num_minibatches=2, update_epochs=1, refill_period=4)
+    trainer = PPO(env, env.default_params, cfg)
+    # force pooled (auto-selection needs num_envs >= 64)
+    from minigrid_tpu.parallel.vector import VectorEnv
+    trainer.venv = VectorEnv(env, cfg.num_envs, env.default_params,
+                             final_obs=cfg.bootstrap_truncated,
+                             reset_strategy="pooled", pool_refill=2)
+    runner = trainer.init(jax.random.PRNGKey(0))
+    params_before = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), runner[0].params
+    )
+    runner, metrics = trainer.update(runner)
+    moved = jax.tree_util.tree_reduce(
+        lambda acc, pair: acc or pair,
+        jax.tree_util.tree_map(
+            lambda a, b: bool(np.any(np.asarray(a) != b)),
+            runner[0].params, params_before,
+        ),
+        False,
+    )
+    assert moved
+    for k, v in metrics.items():
+        assert bool(jnp.all(jnp.isfinite(v))), k
+    # the pool ring advanced in bulk: num_steps/K outer refills of K windows
+    assert int(runner[1].tick) == cfg.num_steps
+
+
 def test_ppo_stats_accumulate_episodes():
     env = minigrid_tpu.make("MiniGrid-Empty-5x5-v0")
     cfg = PPOConfig(num_envs=8, num_steps=64, num_updates=1,
@@ -124,6 +156,30 @@ def test_ppo_sharded_train_step(axes):
     jax.block_until_ready(metrics)
     for k, v in metrics.items():
         assert bool(jnp.all(jnp.isfinite(v))), k
+
+
+def test_ppo_sharded_pooled_refill():
+    """Pooled strategy + periodic bulk refill under a dp mesh: PooledState
+    (env batch B, level-pool axis 2B) shards over dp; the refill's
+    dynamic_update_slice windows cross shard boundaries; the update
+    executes and the ring advances in bulk."""
+    from jax.sharding import Mesh
+
+    from minigrid_tpu.parallel.vector import VectorEnv
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("dp",))
+    env = minigrid_tpu.make("BabyAI-GoToRedBallGrey-v0")
+    cfg = PPOConfig(num_envs=8, num_steps=8, num_updates=1,
+                    num_minibatches=2, update_epochs=1, refill_period=4)
+    trainer = PPO(env, env.default_params, cfg, mesh=mesh)
+    trainer.venv = VectorEnv(env, cfg.num_envs, env.default_params,
+                             final_obs=cfg.bootstrap_truncated,
+                             reset_strategy="pooled", pool_refill=2)
+    runner = trainer.init(jax.random.PRNGKey(0))
+    runner, metrics = trainer.update(runner)
+    for k, v in metrics.items():
+        assert bool(jnp.all(jnp.isfinite(v))), k
+    assert int(runner[1].tick) == cfg.num_steps
 
 
 def test_bc_train_on_oracle_demos():
