@@ -1,0 +1,166 @@
+"""Auto-tune the vectorized execution config for one env family.
+
+The right reset strategy and pool parameters depend on measured platform
+economics (see PERF.md): per-fusion launch cost makes the *number* of
+kernels in the hot loop the figure of merit, so which of
+fused / conditional / pooled wins — and at what refill window and bulk
+period — is an empirical question per family and batch size.  The
+reference has no analogue (it steps one Python object; its benchmark is
+minigrid/benchmark.py:12-48); this tool sweeps the knobs this framework
+actually exposes and reports the fastest configuration:
+
+    python -m minigrid_tpu.tools.autotune BabyAI-GoToRedBall-v0 \
+        --num-envs 4096 --num-steps 1024
+
+Timing protocol (PERF.md): whole rollout under one jitted ``lax.scan``
+(amortizes the ~40 ms tunnel dispatch), synced by host fetch
+(``block_until_ready`` returns early on the tunneled axon backend), first
+call discarded as compile.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+def _sync(x):
+    import numpy as _np
+
+    _np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
+
+
+@dataclass
+class Candidate:
+    reset_strategy: str
+    pool_refill: int | None = None
+    refill_period: int = 1
+    strict_refill: bool = False
+
+    def label(self) -> str:
+        s = self.reset_strategy
+        if self.reset_strategy == "pooled":
+            s += f"(C={self.pool_refill or 'auto'},K={self.refill_period}"
+            s += ",strict)" if self.strict_refill else ")"
+        return s
+
+
+def candidates(num_envs: int, expensive: bool) -> list[Candidate]:
+    """Sweep grid: strategies the family could plausibly want."""
+    out = [Candidate("fused"), Candidate("conditional")]
+    for frac in (8, 16, 32):
+        c = max(1, num_envs // frac)
+        while (2 * num_envs) % c:
+            c -= 1
+        for period in (1, 8):
+            if (2 * num_envs) % min(period * c, 2 * num_envs) == 0:
+                out.append(Candidate("pooled", c, period))
+    return out
+
+
+def measure(env_id: str, cand: Candidate, num_envs: int, num_steps: int,
+            seed: int = 0) -> tuple[float, float]:
+    """(env-steps/s, compile+first-call seconds) for one candidate."""
+    import minigrid_tpu
+    from minigrid_tpu.parallel.vector import VectorEnv
+
+    env = minigrid_tpu.make(env_id)
+    params = env.default_params
+    venv = VectorEnv(
+        env, num_envs, params,
+        reset_strategy=cand.reset_strategy,
+        pool_refill=cand.pool_refill,
+        strict_refill=cand.strict_refill,
+    )
+    K = cand.refill_period
+    N, T = num_envs, num_steps
+    assert T % K == 0
+
+    @jax.jit
+    def run(key):
+        key, k = jax.random.split(key)
+        obs, st = venv._reset(k)
+
+        def body(step_fn):
+            def b(st, kk):
+                a = jax.random.randint(kk, (N,), 0, env.num_actions,
+                                       dtype=jnp.int32)
+                _, st2, r, te, tr, _ = step_fn(st, a)
+                return st2, r.sum()
+            return b
+
+        if K > 1:
+            def outer(st, ks):
+                st, rs = jax.lax.scan(body(venv._step_nofill), st, ks)
+                return venv._refill(st, K), rs.sum()
+
+            keys = jax.random.split(key, T).reshape(T // K, K, -1)
+            st, rs = jax.lax.scan(outer, st, keys)
+        else:
+            st, rs = jax.lax.scan(body(venv._step), st,
+                                  jax.random.split(key, T))
+        return rs.sum()
+
+    t0 = time.perf_counter()
+    _sync(run(jax.random.PRNGKey(seed)))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _sync(run(jax.random.PRNGKey(seed + 1)))
+    dt = time.perf_counter() - t0
+    return N * T / dt, compile_s
+
+
+def autotune(env_id: str, num_envs: int = 4096, num_steps: int = 1024,
+             verbose: bool = True) -> dict:
+    """Sweep all candidates; return the best config as a dict of
+    VectorEnv/rollout kwargs plus the measured table."""
+    import minigrid_tpu
+
+    env = minigrid_tpu.make(env_id)
+    expensive = getattr(env, "expensive_generation", False)
+    rows = []
+    for cand in candidates(num_envs, expensive):
+        try:
+            sps, compile_s = measure(env_id, cand, num_envs, num_steps)
+        except Exception as e:  # noqa: BLE001 — report and keep sweeping
+            if verbose:
+                print(f"  {cand.label():28s} failed: {type(e).__name__}: {e}",
+                      flush=True)
+            continue
+        rows.append((cand, sps, compile_s))
+        if verbose:
+            print(f"  {cand.label():28s} {sps / 1e6:9.2f}M steps/s"
+                  f"  (compile {compile_s:5.1f}s)", flush=True)
+    if not rows:
+        raise RuntimeError(f"no candidate succeeded for {env_id}")
+    best, sps, _ = max(rows, key=lambda r: r[1])
+    result = {
+        "env_id": env_id,
+        "num_envs": num_envs,
+        "steps_per_sec": sps,
+        "reset_strategy": best.reset_strategy,
+        "pool_refill": best.pool_refill,
+        "refill_period": best.refill_period,
+        "strict_refill": best.strict_refill,
+        "table": [(c.label(), s) for c, s, _ in rows],
+    }
+    if verbose:
+        print(f"best: {best.label()} at {sps / 1e6:.2f}M steps/s")
+    return result
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("env_id")
+    p.add_argument("--num-envs", type=int, default=4096)
+    p.add_argument("--num-steps", type=int, default=1024)
+    args = p.parse_args(argv)
+    autotune(args.env_id, args.num_envs, args.num_steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -197,3 +197,21 @@ def test_gen_site(tmp_path):
     assert (out / "style.css").exists()
     # escaping: raw HTML in markdown must not pass through
     assert "<script>" not in md_to_html("hello <script>alert(1)</script>")
+
+
+def test_autotune_sweeps_and_picks_best():
+    """The autotune sweep measures every viable strategy candidate and
+    returns the fastest as VectorEnv/rollout kwargs."""
+    from minigrid_tpu.tools.autotune import autotune, candidates
+
+    cands = candidates(num_envs=8, expensive=False)
+    labels = [c.label() for c in cands]
+    assert "fused" in labels and "conditional" in labels
+    assert any(c.reset_strategy == "pooled" and c.refill_period > 1
+               for c in cands)
+
+    res = autotune("MiniGrid-Empty-5x5-v0", num_envs=8, num_steps=8,
+                   verbose=False)
+    assert res["reset_strategy"] in ("fused", "conditional", "pooled")
+    assert res["steps_per_sec"] > 0
+    assert len(res["table"]) >= 3
