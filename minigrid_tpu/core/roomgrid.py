@@ -91,6 +91,15 @@ class RoomGridEnv(Env):
                 r2.append((j + 1) * cols + i)
         self._wall_r1 = jnp.asarray(r1, dtype=jnp.int32)
         self._wall_r2 = jnp.asarray(r2, dtype=jnp.int32)
+        # Constant one-hot wall -> (room, room) incidence (symmetric), so
+        # connect_all's room-graph edge matrix is a fused masked min-reduce
+        # instead of index scatters (each static-index scatter still lowers
+        # to its own kernel on TPU).
+        n_rooms = rows * cols
+        if self.num_walls:
+            m = np.zeros((self.num_walls, n_rooms, n_rooms), bool)
+            m[np.arange(self.num_walls), np.asarray(r1), np.asarray(r2)] = True
+            self._wall_pair_mask = jnp.asarray(m | m.transpose(0, 2, 1))
 
     def room_top(self, i, j):
         s = self.room_size
@@ -134,23 +143,28 @@ class RoomGridEnv(Env):
                 grid = G.wall_rect(grid, i * (s - 1), j * (s - 1), s, s)
 
         # Sample a door slot on every internal wall (roomgrid.py:158-164).
+        # One batched draw per wall class — a per-wall .at[w].set loop costs
+        # one kernel per wall even with static indices.  Wall order matches
+        # h_wall_id/v_wall_id: h walls j-major over (j, i<cols-1), then v
+        # walls j-major over (j<rows-1, i).
         key, k_h, k_v = jax.random.split(key, 3)
-        door_pos = jnp.zeros((self.num_walls, 2), dtype=jnp.int32)
-        hk = jax.random.split(k_h, max(self.num_h_walls, 1))
-        w = 0
-        for j in range(rows):
-            for i in range(cols - 1):
-                x = (i + 1) * (s - 1)
-                y = j * (s - 1) + jax.random.randint(hk[w - 0], (), 1, s - 1)
-                door_pos = door_pos.at[w].set(jnp.stack([x, y]))
-                w += 1
-        vk = jax.random.split(k_v, max(self.num_v_walls, 1))
-        for j in range(rows - 1):
-            for i in range(cols):
-                y = (j + 1) * (s - 1)
-                x = i * (s - 1) + jax.random.randint(vk[w - self.num_h_walls], (), 1, s - 1)
-                door_pos = door_pos.at[w].set(jnp.stack([x, y]))
-                w += 1
+        parts = []
+        if self.num_h_walls:
+            jj, ii = np.meshgrid(np.arange(rows), np.arange(cols - 1),
+                                 indexing="ij")
+            hx = jnp.asarray((ii + 1) * (s - 1), jnp.int32).ravel()
+            hy = (jnp.asarray(jj * (s - 1), jnp.int32).ravel()
+                  + jax.random.randint(k_h, (self.num_h_walls,), 1, s - 1))
+            parts.append(jnp.stack([hx, hy], axis=1))
+        if self.num_v_walls:
+            jj, ii = np.meshgrid(np.arange(rows - 1), np.arange(cols),
+                                 indexing="ij")
+            vy = jnp.asarray((jj + 1) * (s - 1), jnp.int32).ravel()
+            vx = (jnp.asarray(ii * (s - 1), jnp.int32).ravel()
+                  + jax.random.randint(k_v, (self.num_v_walls,), 1, s - 1))
+            parts.append(jnp.stack([vx, vy], axis=1))
+        door_pos = (jnp.concatenate(parts, axis=0) if parts
+                    else jnp.zeros((0, 2), jnp.int32))
 
         # Agent starts mid-grid facing right (roomgrid.py:172-179).
         mid = jnp.stack([
@@ -351,10 +365,15 @@ class RoomGridEnv(Env):
         edge = jnp.where(b["has_door"], jnp.int32(-1),
                          jnp.where(eligible, rank, BIG))
 
-        D = jnp.full((n_rooms, n_rooms), BIG, jnp.int32)
-        D = D.at[jnp.arange(n_rooms), jnp.arange(n_rooms)].set(-1)
-        D = D.at[r1, r2].min(edge)
-        D = D.at[r2, r1].min(edge)
+        # Edge matrix via the constant wall->(room,room) one-hot: a fused
+        # masked min-reduce (three static-index scatters otherwise cost a
+        # kernel each).
+        ar = jnp.arange(n_rooms)
+        D = jnp.min(
+            jnp.where(self._wall_pair_mask, edge[:, None, None], BIG),
+            axis=0,
+        )
+        D = jnp.where(ar[:, None] == ar[None, :], jnp.int32(-1), D)
 
         def fw(k, D):
             via = jnp.maximum(D[:, k][:, None], D[None, k, :])
@@ -381,13 +400,25 @@ class RoomGridEnv(Env):
                                    jnp.where(active, 9, 10))
             colors = jnp.asarray(SORTED_COLOR_IDS)[jnp.where(active, r + (r >= ex_rank), r)]
 
+        # Stamp every new door in one fused one-hot combine (a per-wall
+        # put_if loop chains n_walls dependent full-grid selects).  Distinct
+        # walls have distinct door cells, so max over walls is exact.
         grid = b["grid"]
         closed = jnp.asarray(C.STATE_TO_IDX["closed"], jnp.int32)
-        for w in range(n_walls):
-            door = jnp.stack([jnp.asarray(_DOOR, jnp.int32), colors[w],
-                              closed]).astype(jnp.uint8)
-            grid = G.put_if(grid, b["door_pos"][w, 0], b["door_pos"][w, 1],
-                            door, new_door[w])
+        W, H = grid.shape[:2]
+        xs, ys = G.coords(W, H)
+        stamp = ((xs[None] == b["door_pos"][:, 0, None, None])
+                 & (ys[None] == b["door_pos"][:, 1, None, None])
+                 & new_door[:, None, None])
+        doors = jnp.stack([
+            jnp.full((n_walls,), _DOOR, jnp.int32),
+            colors.astype(jnp.int32),
+            jnp.full((n_walls,), closed, jnp.int32),
+        ], axis=1)
+        val = jnp.max(
+            jnp.where(stamp[..., None], doors[:, None, None, :], 0), axis=0
+        ).astype(grid.dtype)
+        grid = jnp.where(jnp.any(stamp, axis=0)[..., None], val, grid)
         b = dict(b)
         b["grid"] = grid
         b["has_door"] = b["has_door"] | new_door
