@@ -137,8 +137,8 @@ class GoTo(BabyAILevel):
             doors = b["grid"][..., 0] == C.OBJECT_TO_IDX["door"]
             b = dict(b)
             b["grid"] = jnp.where(
-                doors[..., None],
-                b["grid"].at[..., 2].set(C.STATE_TO_IDX["open"]),
+                doors[..., None] & (jnp.arange(3) == 2),
+                jnp.asarray(C.STATE_TO_IDX["open"], b["grid"].dtype),
                 b["grid"],
             )
         return self.finish_level(b, instr, params, valid)
@@ -161,7 +161,7 @@ class GoToImpUnlock(BabyAILevel):
         # key room != locked room: uniform over the rest
         n_rooms = self.num_rows * self.num_cols
         locked_r = lj * self.num_cols + li
-        logits = jnp.zeros((n_rooms,)).at[locked_r].set(-jnp.inf)
+        logits = jnp.where(jnp.arange(n_rooms) == locked_r, -jnp.inf, 0.0)
         kr = jax.random.categorical(keys[4], logits)
         b, _, _ = self.add_object(b, keys[5], params, kr % self.num_cols,
                                   kr // self.num_cols, "key",

@@ -259,7 +259,7 @@ class BabyAILevel(RoomGridEnv):
         logits = jnp.zeros((n_rooms,))
         if exclude_room is not None:
             r = exclude_room[1] * self.num_cols + exclude_room[0]
-            logits = logits.at[r].set(-jnp.inf)
+            logits = jnp.where(jnp.arange(n_rooms) == r, -jnp.inf, 0.0)
         room = jax.random.categorical(k_room, logits)
         ri = room % self.num_cols
         rj = room // self.num_cols
@@ -311,12 +311,10 @@ class BabyAILevel(RoomGridEnv):
         door = types == C.OBJECT_TO_IDX["door"]
         wall = types == C.OBJECT_TO_IDX["wall"]
         expandable = empty | door
-        reach = jnp.zeros((w, h), bool).at[b["agent_pos"][0],
-                                           b["agent_pos"][1]].set(True)
-
         xs = jax.lax.broadcasted_iota(jnp.int32, (w, h), 0)
         ys = jax.lax.broadcasted_iota(jnp.int32, (w, h), 1)
         agent_cell = (xs == b["agent_pos"][0]) & (ys == b["agent_pos"][1])
+        reach = agent_cell  # one-hot seed (a one-cell scatter costs a kernel)
         # constant edge masks kill the roll wrap-around without per-iteration
         # dynamic-update-slices (each lowers to a scatter kernel)
         not_r0, not_rl = xs != 0, xs != w - 1

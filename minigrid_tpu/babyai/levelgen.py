@@ -154,7 +154,7 @@ class LevelGen(BabyAILevel):
             b, door, _ = self.add_door(b, keys[3], li, lj, pick % 4,
                                        locked=True, enabled=has_locked)
             # key in another room
-            logits_k = jnp.zeros((rows * cols,)).at[lr].set(-jnp.inf)
+            logits_k = jnp.where(jnp.arange(rows * cols) == lr, -jnp.inf, 0.0)
             kr = jax.random.categorical(keys[4], logits_k)
             b, _, _ = self.add_object(b, keys[5], params, kr % cols,
                                       kr // cols, "key",
@@ -177,8 +177,8 @@ class LevelGen(BabyAILevel):
             # only exclude when the locked room exists
             k_room, k_pos = jax.random.split(keys[8])
             n_rooms = rows * cols
-            logits_a = jnp.zeros((n_rooms,)).at[lr].set(
-                jnp.where(has_locked, -jnp.inf, 0.0))
+            logits_a = jnp.where((jnp.arange(n_rooms) == lr) & has_locked,
+                                 -jnp.inf, 0.0)
             room = jax.random.categorical(k_room, logits_a)
             b = self.place_agent_in_room(b, k_pos, params, room % cols,
                                          room // cols)
@@ -242,9 +242,11 @@ class LevelGen(BabyAILevel):
             states = b["grid"][..., 2].astype(jnp.int32)
             locked_doors = (types == _DOOR) & (states == C.STATE_TO_IDX["locked"])
             colors = b["grid"][..., 1].astype(jnp.int32)
-            locked_colors = jnp.zeros((C.NUM_COLORS,), bool).at[
-                jnp.where(locked_doors, colors, 0).reshape(-1)
-            ].max(locked_doors.reshape(-1))
+            locked_colors = jnp.any(
+                locked_doors[..., None]
+                & (colors[..., None] == jnp.arange(C.NUM_COLORS)),
+                axis=(0, 1),
+            )
             for s in range(4):
                 for d in (instr.d1[s], instr.d2[s]):
                     is_key = d[0] == 3  # local key id

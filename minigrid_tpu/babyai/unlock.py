@@ -32,7 +32,7 @@ class Unlock(BabyAILevel):
         lj = jax.random.randint(keys[2], (), 0, rows)
         b, door, _ = self.add_door(b, keys[3], li, lj, locked=True)
         lr = lj * cols + li
-        logits = jnp.zeros((n_rooms,)).at[lr].set(-jnp.inf)
+        logits = jnp.where(jnp.arange(n_rooms) == lr, -jnp.inf, 0.0)
         kr = jax.random.categorical(keys[4], logits)
         b, _, _ = self.add_object(b, keys[5], params, kr % cols, kr // cols,
                                   "key", door[1].astype(jnp.int32))

@@ -133,14 +133,20 @@ def single_clause(kind, d1, d2=None, strict=False, n: int = 1) -> InstrCode:
     quarter of the desc-match planes at generation.  Composite codes
     (``and_instr``/``seq_instr``) are always 4-slot."""
     base = empty_instr(n)
-    kinds = base.kinds.at[0].set(jnp.asarray(kind, jnp.int32))
-    d1_arr = base.d1.at[0].set(jnp.asarray(d1, jnp.int32))
+    # slot 0 is a static index: concatenate instead of .at[0].set (a
+    # one-element scatter costs its own kernel in the generation graph)
+    kinds = jnp.concatenate([jnp.asarray(kind, jnp.int32)[None],
+                             base.kinds[1:]])
+    d1_arr = jnp.concatenate([jnp.asarray(d1, jnp.int32)[None, :],
+                              base.d1[1:]])
     d2_arr = base.d2
     if d2 is not None:
-        d2_arr = d2_arr.at[0].set(jnp.asarray(d2, jnp.int32))
+        d2_arr = jnp.concatenate([jnp.asarray(d2, jnp.int32)[None, :],
+                                  base.d2[1:]])
     return base.replace(
         kinds=kinds, d1=d1_arr, d2=d2_arr,
-        strict=base.strict.at[0].set(jnp.asarray(strict)),
+        strict=jnp.concatenate([jnp.asarray(strict)[None],
+                                base.strict[1:]]),
     )
 
 
