@@ -107,6 +107,7 @@ class DynamicObstaclesEnv(Env):
         grid = state.grid
         positions = state.extra
         xs, ys = G.coords(params.width, params.height)
+        new_positions = []
         for i in range(self.n_obstacles):
             old = positions[i]
             pos, ok = self.propose_move(i, key, grid, old, state.agent_pos,
@@ -114,8 +115,10 @@ class DynamicObstaclesEnv(Env):
             new_pos = jnp.where(ok, pos, old)
             grid = G.put_if(grid, old[0], old[1], C.EMPTY_TRIPLE, ok)
             grid = G.put(grid, new_pos[0], new_pos[1], _BALL)
-            positions = positions.at[i].set(new_pos)
-        state = state.replace(grid=grid, extra=positions)
+            new_positions.append(new_pos)
+        # stack instead of per-obstacle .at[i].set (each static-index
+        # scatter costs its own kernel in the hot step)
+        state = state.replace(grid=grid, extra=jnp.stack(new_positions))
 
         # Base transition on the post-move grid (dynamicobstacles.py:159).
         state, reward, terminated, truncated = super().step_state(
