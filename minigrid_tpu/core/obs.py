@@ -159,7 +159,11 @@ def gen_obs_grid(
     else:
         vis_mask = process_vis(cells, v)
     # Agent sees what it carries (minigrid_env.py:620-627); empty hands -> None.
-    cells = cells.at[v // 2, v - 1].set(state.carrying)
+    # Constant one-hot select: the .at[].set form lowers to a scatter kernel
+    # even with static indices — in the hottest path of every family.
+    agent_cell = ((np.arange(v)[:, None] == v // 2)
+                  & (np.arange(v)[None, :] == v - 1))
+    cells = jnp.where(agent_cell[..., None], state.carrying, cells)
     return cells, vis_mask
 
 
