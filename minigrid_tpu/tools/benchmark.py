@@ -28,7 +28,10 @@ import jax.numpy as jnp
 
 def benchmark(env_id: str = "MiniGrid-LavaGapS7-v0", num_resets: int = 200,
               num_frames: int = 5000, tile_size: int = 32,
-              num_envs: int = 4096, vector_steps: int = 256) -> dict:
+              num_envs: int = 4096, vector_steps: int = 256,
+              reset_strategy: str | None = None,
+              pool_refill: int | None = None,
+              refill_period: int = 1) -> dict:
     import minigrid_tpu
     from minigrid_tpu.ops.render import get_atlas, get_frame, pov_render
     from minigrid_tpu.parallel.vector import VectorEnv
@@ -70,21 +73,38 @@ def benchmark(env_id: str = "MiniGrid-LavaGapS7-v0", num_resets: int = 200,
     rgb_step_fps = num_frames / (time.perf_counter() - t0)
 
     # --- vectorized env-steps/s (no reference analogue) ----------------------
-    venv = VectorEnv(env, num_envs, params)
+    venv = VectorEnv(env, num_envs, params, reset_strategy=reset_strategy,
+                     pool_refill=pool_refill)
+    K = refill_period
+    assert vector_steps % K == 0, (vector_steps, K)
+    if K > 1:
+        assert venv.reset_strategy == "pooled", (
+            "refill_period requires the pooled reset strategy")
 
     @jax.jit
     def run(key):
         key, k = jax.random.split(key)
         obs, st = venv._reset(k)
 
-        def body(st, kk):
-            a = jax.random.randint(kk, (num_envs,), 0, env.num_actions,
-                                   dtype=jnp.int32)
-            _, st, r, te, tr, _ = venv._step(st, a)
-            return st, r.sum()
+        def body(step_fn):
+            def b(st, kk):
+                a = jax.random.randint(kk, (num_envs,), 0, env.num_actions,
+                                       dtype=jnp.int32)
+                _, st2, r, te, tr, _ = step_fn(st, a)
+                return st2, r.sum()
+            return b
 
-        keys = jax.random.split(key, vector_steps)
-        st, rs = jax.lax.scan(body, st, keys)
+        if K > 1:
+            def outer(st, ks):
+                st, rs = jax.lax.scan(body(venv._step_nofill), st, ks)
+                return venv._refill(st, K), rs.sum()
+
+            keys = jax.random.split(key, vector_steps).reshape(
+                vector_steps // K, K, -1)
+            st, rs = jax.lax.scan(outer, st, keys)
+        else:
+            st, rs = jax.lax.scan(body(venv._step), st,
+                                  jax.random.split(key, vector_steps))
         return rs.sum()
 
     r = run(jax.random.PRNGKey(0))
@@ -109,9 +129,16 @@ def main():
     parser.add_argument("--num-frames", type=int, default=5000)
     parser.add_argument("--tile-size", type=int, default=32)
     parser.add_argument("--num-envs", type=int, default=4096)
+    parser.add_argument("--reset-strategy", default=None,
+                        choices=[None, "fused", "conditional", "pooled"])
+    parser.add_argument("--pool-refill", type=int, default=None)
+    parser.add_argument("--refill-period", type=int, default=1)
     args = parser.parse_args()
     out = benchmark(args.env_name, args.num_resets, args.num_frames,
-                    args.tile_size, args.num_envs)
+                    args.tile_size, args.num_envs,
+                    reset_strategy=args.reset_strategy,
+                    pool_refill=args.pool_refill,
+                    refill_period=args.refill_period)
     print(f"reset time (ms)      : {out['reset_ms']:.1f}")
     print(f"full render FPS      : {out['render_fps']:.0f}")
     print(f"RGB partial step FPS : {out['rgb_partial_step_fps']:.0f}")
