@@ -146,8 +146,8 @@ def pov_render(state: EnvState, params: EnvParams,
     with invisible cells blanked, agent at center-bottom facing up."""
     v = params.agent_view_size
     cells, vis_mask = gen_obs_grid(state, params)
-    cells = jnp.where(vis_mask[..., None], cells,
-                      jnp.zeros_like(cells).at[..., 0].set(1))
+    unseen = jnp.asarray([1, 0, 0], cells.dtype)  # constant (no scatter)
+    cells = jnp.where(vis_mask[..., None], cells, unseen)
     return render_grid(
         cells, atlas,
         agent_pos=jnp.asarray([v // 2, v - 1]),
