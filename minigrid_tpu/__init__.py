@@ -12,7 +12,7 @@ from minigrid_tpu.core.env import Env
 from minigrid_tpu.core.state import EnvParams, EnvState
 from minigrid_tpu.core.step import NUM_ACTIONS, Actions  # noqa: F401
 from minigrid_tpu.parallel.vector import VectorEnv, rollout
-from minigrid_tpu.registry import make, register, registered_ids
+from minigrid_tpu.registry import make, make_vec, register, registered_ids
 
 import minigrid_tpu.envs  # noqa: F401  (populates the registry)
 import minigrid_tpu.babyai  # noqa: F401  (BabyAI ids)

@@ -65,6 +65,25 @@ def make(id: str, **overrides: Any) -> Env:
     return env
 
 
+def make_vec(id: str, num_envs: int, *, params=None, auto_reset: bool = True,
+             final_obs: bool = False, reset_strategy: str | None = None,
+             pool_refill: int | None = None, strict_refill: bool = False,
+             **overrides: Any):
+    """Vectorized ``make`` (the ``gymnasium.make_vec`` analogue): a
+    ``VectorEnv`` of ``num_envs`` lockstep instances of the preset.
+
+    Env-constructor overrides pass through ``**overrides``; the remaining
+    keywords are the VectorEnv execution knobs (see
+    :mod:`minigrid_tpu.parallel.vector`, and
+    :mod:`minigrid_tpu.tools.autotune` for picking them empirically)."""
+    from minigrid_tpu.parallel.vector import VectorEnv
+
+    env = make(id, **overrides)
+    return VectorEnv(env, num_envs, params, auto_reset=auto_reset,
+                     final_obs=final_obs, reset_strategy=reset_strategy,
+                     pool_refill=pool_refill, strict_refill=strict_refill)
+
+
 def registered_ids() -> list[str]:
     return sorted(_REGISTRY)
 

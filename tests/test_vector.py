@@ -304,3 +304,18 @@ def test_best_effort_refill_distribution():
                     & (g[..., 1] == C.COLOR_TO_IDX["red"]))[0])
     chi2_same([red_ball(g) for g in dg], [red_ball(g) for g in pg],
               "best-effort-vs-direct red ball cell", alpha=1e-5)
+
+
+def test_make_vec():
+    """minigrid_tpu.make_vec: the gymnasium.make_vec analogue."""
+    venv = minigrid_tpu.make_vec("MiniGrid-Empty-5x5-v0", 4)
+    obs, state = venv.reset(jax.random.PRNGKey(0))
+    assert obs["image"].shape[0] == 4
+    obs, state, r, te, tr, _ = venv.step(state, jnp.zeros((4,), jnp.int32))
+    assert r.shape == (4,)
+    # env-constructor overrides + execution knobs both pass through
+    venv2 = minigrid_tpu.make_vec("MiniGrid-KeyCorridorS3R1-v0", 4,
+                                  reset_strategy="pooled", pool_refill=1,
+                                  max_steps=5)
+    assert venv2.reset_strategy == "pooled"
+    assert int(venv2.env.max_steps) == 5
