@@ -26,6 +26,7 @@ __all__ = [
     "VectorEnv",
     "rollout",
     "make",
+    "make_vec",
     "register",
     "registered_ids",
     "NUM_ACTIONS",
