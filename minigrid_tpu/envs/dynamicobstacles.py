@@ -118,7 +118,8 @@ class DynamicObstaclesEnv(Env):
             new_positions.append(new_pos)
         # stack instead of per-obstacle .at[i].set (each static-index
         # scatter costs its own kernel in the hot step)
-        state = state.replace(grid=grid, extra=jnp.stack(new_positions))
+        if new_positions:
+            state = state.replace(grid=grid, extra=jnp.stack(new_positions))
 
         # Base transition on the post-move grid (dynamicobstacles.py:159).
         state, reward, terminated, truncated = super().step_state(

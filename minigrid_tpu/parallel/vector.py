@@ -327,7 +327,13 @@ class VectorEnv:
                 f"windows*pool_refill={n} must divide the ring size {2*B}"
             )
             key, k = jax.random.split(key)
-            off = (tick * C) % (2 * B) if n < 2 * B else 0
+            # Quantize the ring position to this call's block size: a raw
+            # (tick*C) % 2B offset can sit mid-ring when step() (1-window
+            # refills) is mixed with bulk refill(K), and an off+n past the
+            # ring end would CLAMP in dynamic_update_slice (silently never
+            # refreshing the head slots).  Block-aligned offsets always fit,
+            # and consistent-K usage is unchanged.
+            off = ((tick * C) % (2 * B)) // n * n if n < 2 * B else 0
             if self.best_effort_refill:
                 cand, ok = _gen_many_attempt(jax.random.split(k, n))
                 old = jax.tree_util.tree_map(
@@ -453,6 +459,12 @@ def rollout(
         )
         K = refill_period
         assert num_steps % K == 0, (num_steps, K)
+        n = min(K * venv.pool_refill, 2 * num_envs)
+        assert (2 * num_envs) % n == 0, (
+            f"refill_period*pool_refill = {K * venv.pool_refill} must "
+            f"divide the pool ring size {2 * num_envs} (or exceed it); "
+            f"pool_refill={venv.pool_refill}"
+        )
 
         def outer(carry, ks):
             (obs, state), traj = jax.lax.scan(

@@ -55,7 +55,9 @@ class PPOConfig:
     # rollout steps at K-windows width instead of every step — the refill
     # graph's TPU cost is its kernel-launch count, not its width
     # (parallel/vector.py::rollout has the same knob).  Ignored unless the
-    # env resolves to the pooled reset strategy.  Must divide num_steps.
+    # env resolves to the pooled reset strategy.  Must divide num_steps,
+    # and refill_period*pool_refill must divide the 2*num_envs pool ring
+    # (or exceed it — then each refill rewrites the whole ring).
     refill_period: int = struct.field(pytree_node=False, default=1)
 
 
@@ -367,6 +369,13 @@ class PPO:
             # scan-of-scans: K consume-only steps, then ONE K-window bulk
             # refill — same level throughput, 1/K the refill launches.
             assert cfg.num_steps % K == 0, (cfg.num_steps, K)
+            _ring = 2 * cfg.num_envs
+            _n = min(K * self.venv.pool_refill, _ring)
+            assert _ring % _n == 0, (
+                f"refill_period*pool_refill = {K * self.venv.pool_refill} "
+                f"must divide the pool ring size {_ring} (or exceed it); "
+                f"pool_refill={self.venv.pool_refill}"
+            )
 
             def outer(carry, _):
                 carry, traj = jax.lax.scan(

@@ -21,20 +21,12 @@ call discarded as compile.
 from __future__ import annotations
 
 import argparse
-import time
 from dataclasses import dataclass
 
-import jax
-import jax.numpy as jnp
+from minigrid_tpu.tools.benchmark import timed_rollout
 
 
-def _sync(x):
-    import numpy as _np
-
-    _np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
-
-
-@dataclass
+@dataclass(frozen=True)
 class Candidate:
     reset_strategy: str
     pool_refill: int | None = None
@@ -50,14 +42,20 @@ class Candidate:
 
 
 def candidates(num_envs: int, expensive: bool) -> list[Candidate]:
-    """Sweep grid: strategies the family could plausibly want."""
-    out = [Candidate("fused"), Candidate("conditional")]
+    """Sweep grid: strategies the family could plausibly want.  An
+    expensive generator skips 'fused' (it would regenerate B-wide every
+    step — the exact degenerate case the other strategies exist for)."""
+    out = [] if expensive else [Candidate("fused")]
+    out.append(Candidate("conditional"))
+    seen = set()
     for frac in (8, 16, 32):
         c = max(1, num_envs // frac)
         while (2 * num_envs) % c:
             c -= 1
         for period in (1, 8):
-            if (2 * num_envs) % min(period * c, 2 * num_envs) == 0:
+            if ((2 * num_envs) % min(period * c, 2 * num_envs) == 0
+                    and (c, period) not in seen):
+                seen.add((c, period))
                 out.append(Candidate("pooled", c, period))
     return out
 
@@ -69,49 +67,13 @@ def measure(env_id: str, cand: Candidate, num_envs: int, num_steps: int,
     from minigrid_tpu.parallel.vector import VectorEnv
 
     env = minigrid_tpu.make(env_id)
-    params = env.default_params
     venv = VectorEnv(
-        env, num_envs, params,
+        env, num_envs, env.default_params,
         reset_strategy=cand.reset_strategy,
         pool_refill=cand.pool_refill,
         strict_refill=cand.strict_refill,
     )
-    K = cand.refill_period
-    N, T = num_envs, num_steps
-    assert T % K == 0
-
-    @jax.jit
-    def run(key):
-        key, k = jax.random.split(key)
-        obs, st = venv._reset(k)
-
-        def body(step_fn):
-            def b(st, kk):
-                a = jax.random.randint(kk, (N,), 0, env.num_actions,
-                                       dtype=jnp.int32)
-                _, st2, r, te, tr, _ = step_fn(st, a)
-                return st2, r.sum()
-            return b
-
-        if K > 1:
-            def outer(st, ks):
-                st, rs = jax.lax.scan(body(venv._step_nofill), st, ks)
-                return venv._refill(st, K), rs.sum()
-
-            keys = jax.random.split(key, T).reshape(T // K, K, -1)
-            st, rs = jax.lax.scan(outer, st, keys)
-        else:
-            st, rs = jax.lax.scan(body(venv._step), st,
-                                  jax.random.split(key, T))
-        return rs.sum()
-
-    t0 = time.perf_counter()
-    _sync(run(jax.random.PRNGKey(seed)))
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _sync(run(jax.random.PRNGKey(seed + 1)))
-    dt = time.perf_counter() - t0
-    return N * T / dt, compile_s
+    return timed_rollout(venv, num_steps, cand.refill_period, seed=seed)
 
 
 def autotune(env_id: str, num_envs: int = 4096, num_steps: int = 1024,

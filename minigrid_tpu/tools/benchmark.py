@@ -26,6 +26,54 @@ import jax
 import jax.numpy as jnp
 
 
+def timed_rollout(venv, num_steps: int, refill_period: int = 1,
+                  seed: int = 0) -> tuple[float, float]:
+    """(env-steps/s, compile+first-call seconds): one jitted lax.scan
+    rollout with random actions (PERF.md timing protocol — long scan to
+    amortize the ~40 ms tunnel dispatch, synced by host fetch).
+    ``refill_period=K`` uses the pooled bulk-refill scan-of-scans."""
+    env, num_envs = venv.env, venv.num_envs
+    K = refill_period
+    assert num_steps % K == 0, (num_steps, K)
+    if K > 1:
+        assert venv.reset_strategy == "pooled", (
+            "refill_period requires the pooled reset strategy")
+
+    @jax.jit
+    def run(key):
+        key, k = jax.random.split(key)
+        obs, st = venv._reset(k)
+
+        def body(step_fn):
+            def b(st, kk):
+                a = jax.random.randint(kk, (num_envs,), 0, env.num_actions,
+                                       dtype=jnp.int32)
+                _, st2, r, te, tr, _ = step_fn(st, a)
+                return st2, r.sum()
+            return b
+
+        if K > 1:
+            def outer(st, ks):
+                st, rs = jax.lax.scan(body(venv._step_nofill), st, ks)
+                return venv._refill(st, K), rs.sum()
+
+            keys = jax.random.split(key, num_steps).reshape(
+                num_steps // K, K, -1)
+            st, rs = jax.lax.scan(outer, st, keys)
+        else:
+            st, rs = jax.lax.scan(body(venv._step), st,
+                                  jax.random.split(key, num_steps))
+        return rs.sum()
+
+    t0 = time.perf_counter()
+    _sync(run(jax.random.PRNGKey(seed)))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _sync(run(jax.random.PRNGKey(seed + 1)))
+    dt = time.perf_counter() - t0
+    return num_envs * num_steps / dt, compile_s
+
+
 def benchmark(env_id: str = "MiniGrid-LavaGapS7-v0", num_resets: int = 200,
               num_frames: int = 5000, tile_size: int = 32,
               num_envs: int = 4096, vector_steps: int = 256,
@@ -75,44 +123,7 @@ def benchmark(env_id: str = "MiniGrid-LavaGapS7-v0", num_resets: int = 200,
     # --- vectorized env-steps/s (no reference analogue) ----------------------
     venv = VectorEnv(env, num_envs, params, reset_strategy=reset_strategy,
                      pool_refill=pool_refill)
-    K = refill_period
-    assert vector_steps % K == 0, (vector_steps, K)
-    if K > 1:
-        assert venv.reset_strategy == "pooled", (
-            "refill_period requires the pooled reset strategy")
-
-    @jax.jit
-    def run(key):
-        key, k = jax.random.split(key)
-        obs, st = venv._reset(k)
-
-        def body(step_fn):
-            def b(st, kk):
-                a = jax.random.randint(kk, (num_envs,), 0, env.num_actions,
-                                       dtype=jnp.int32)
-                _, st2, r, te, tr, _ = step_fn(st, a)
-                return st2, r.sum()
-            return b
-
-        if K > 1:
-            def outer(st, ks):
-                st, rs = jax.lax.scan(body(venv._step_nofill), st, ks)
-                return venv._refill(st, K), rs.sum()
-
-            keys = jax.random.split(key, vector_steps).reshape(
-                vector_steps // K, K, -1)
-            st, rs = jax.lax.scan(outer, st, keys)
-        else:
-            st, rs = jax.lax.scan(body(venv._step), st,
-                                  jax.random.split(key, vector_steps))
-        return rs.sum()
-
-    r = run(jax.random.PRNGKey(0))
-    _sync(r)
-    t0 = time.perf_counter()
-    r = run(jax.random.PRNGKey(1))
-    _sync(r)
-    vec_sps = num_envs * vector_steps / (time.perf_counter() - t0)
+    vec_sps, _ = timed_rollout(venv, vector_steps, refill_period)
 
     return {
         "reset_ms": reset_ms,
