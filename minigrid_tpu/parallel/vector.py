@@ -413,6 +413,7 @@ def rollout(
     num_steps: int,
     policy=None,
     refill_period: int = 1,
+    unroll: int = 1,
     **venv_kwargs,
 ):
     """lax.scan rollout harness: B envs × T steps entirely on device.
@@ -426,6 +427,11 @@ def rollout(
     so batching K windows into one launch set cuts the per-step refill
     overhead by K.  Misses during the K-step gap fall back to stale
     replays (best-effort mode), so auto-reset semantics are unchanged.
+
+    ``unroll=U`` unrolls the step scan U bodies per iteration: the step
+    program is launch-bound (per-fusion cost is flat in tensor size on
+    this platform — PERF.md), and XLA can fuse elementwise chains across
+    consecutive unrolled steps, cutting launches per env-step.
     """
     if policy is None:
         def policy(k, obs):
@@ -468,7 +474,7 @@ def rollout(
 
         def outer(carry, ks):
             (obs, state), traj = jax.lax.scan(
-                make_body(venv._step_nofill), carry, ks
+                make_body(venv._step_nofill), carry, ks, unroll=unroll
             )
             state = venv._refill(state, K)
             return (obs, state), traj
@@ -482,5 +488,5 @@ def rollout(
 
     keys = jax.random.split(key, num_steps)
     (obs, state), traj = jax.lax.scan(
-        make_body(venv._step), (obs, state), keys)
+        make_body(venv._step), (obs, state), keys, unroll=unroll)
     return state, traj

@@ -32,20 +32,25 @@ class Candidate:
     pool_refill: int | None = None
     refill_period: int = 1
     strict_refill: bool = False
+    unroll: int = 1
 
     def label(self) -> str:
         s = self.reset_strategy
         if self.reset_strategy == "pooled":
             s += f"(C={self.pool_refill or 'auto'},K={self.refill_period}"
             s += ",strict)" if self.strict_refill else ")"
+        if self.unroll > 1:
+            s += f" U={self.unroll}"
         return s
 
 
 def candidates(num_envs: int, expensive: bool) -> list[Candidate]:
     """Sweep grid: strategies the family could plausibly want.  An
     expensive generator skips 'fused' (it would regenerate B-wide every
-    step — the exact degenerate case the other strategies exist for)."""
-    out = [] if expensive else [Candidate("fused")]
+    step — the exact degenerate case the other strategies exist for).
+    Scan-unroll variants are included because the step program is
+    launch-bound (PERF.md): fusing across unrolled steps cuts launches."""
+    out = [] if expensive else [Candidate("fused"), Candidate("fused", unroll=4)]
     out.append(Candidate("conditional"))
     seen = set()
     for frac in (8, 16, 32):
@@ -57,6 +62,8 @@ def candidates(num_envs: int, expensive: bool) -> list[Candidate]:
                     and (c, period) not in seen):
                 seen.add((c, period))
                 out.append(Candidate("pooled", c, period))
+                if period > 1:
+                    out.append(Candidate("pooled", c, period, unroll=4))
     return out
 
 
@@ -73,7 +80,8 @@ def measure(env_id: str, cand: Candidate, num_envs: int, num_steps: int,
         pool_refill=cand.pool_refill,
         strict_refill=cand.strict_refill,
     )
-    return timed_rollout(venv, num_steps, cand.refill_period, seed=seed)
+    return timed_rollout(venv, num_steps, cand.refill_period, seed=seed,
+                         unroll=cand.unroll)
 
 
 def autotune(env_id: str, num_envs: int = 4096, num_steps: int = 1024,
@@ -108,6 +116,7 @@ def autotune(env_id: str, num_envs: int = 4096, num_steps: int = 1024,
         "pool_refill": best.pool_refill,
         "refill_period": best.refill_period,
         "strict_refill": best.strict_refill,
+        "unroll": best.unroll,
         "table": [(c.label(), s) for c, s, _ in rows],
     }
     if verbose:

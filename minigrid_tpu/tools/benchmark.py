@@ -27,11 +27,13 @@ import jax.numpy as jnp
 
 
 def timed_rollout(venv, num_steps: int, refill_period: int = 1,
-                  seed: int = 0) -> tuple[float, float]:
+                  seed: int = 0, unroll: int = 1) -> tuple[float, float]:
     """(env-steps/s, compile+first-call seconds): one jitted lax.scan
     rollout with random actions (PERF.md timing protocol — long scan to
     amortize the ~40 ms tunnel dispatch, synced by host fetch).
-    ``refill_period=K`` uses the pooled bulk-refill scan-of-scans."""
+    ``refill_period=K`` uses the pooled bulk-refill scan-of-scans;
+    ``unroll=U`` unrolls U step bodies per scan iteration so XLA can fuse
+    across steps (the program is launch-bound, PERF.md)."""
     env, num_envs = venv.env, venv.num_envs
     K = refill_period
     assert num_steps % K == 0, (num_steps, K)
@@ -54,7 +56,8 @@ def timed_rollout(venv, num_steps: int, refill_period: int = 1,
 
         if K > 1:
             def outer(st, ks):
-                st, rs = jax.lax.scan(body(venv._step_nofill), st, ks)
+                st, rs = jax.lax.scan(body(venv._step_nofill), st, ks,
+                                      unroll=unroll)
                 return venv._refill(st, K), rs.sum()
 
             keys = jax.random.split(key, num_steps).reshape(
@@ -62,7 +65,8 @@ def timed_rollout(venv, num_steps: int, refill_period: int = 1,
             st, rs = jax.lax.scan(outer, st, keys)
         else:
             st, rs = jax.lax.scan(body(venv._step), st,
-                                  jax.random.split(key, num_steps))
+                                  jax.random.split(key, num_steps),
+                                  unroll=unroll)
         return rs.sum()
 
     t0 = time.perf_counter()
@@ -79,7 +83,8 @@ def benchmark(env_id: str = "MiniGrid-LavaGapS7-v0", num_resets: int = 200,
               num_envs: int = 4096, vector_steps: int = 256,
               reset_strategy: str | None = None,
               pool_refill: int | None = None,
-              refill_period: int = 1) -> dict:
+              refill_period: int = 1,
+              unroll: int = 1) -> dict:
     import minigrid_tpu
     from minigrid_tpu.ops.render import get_atlas, get_frame, pov_render
     from minigrid_tpu.parallel.vector import VectorEnv
@@ -123,7 +128,8 @@ def benchmark(env_id: str = "MiniGrid-LavaGapS7-v0", num_resets: int = 200,
     # --- vectorized env-steps/s (no reference analogue) ----------------------
     venv = VectorEnv(env, num_envs, params, reset_strategy=reset_strategy,
                      pool_refill=pool_refill)
-    vec_sps, _ = timed_rollout(venv, vector_steps, refill_period)
+    vec_sps, _ = timed_rollout(venv, vector_steps, refill_period,
+                               unroll=unroll)
 
     return {
         "reset_ms": reset_ms,
@@ -144,12 +150,14 @@ def main():
                         choices=[None, "fused", "conditional", "pooled"])
     parser.add_argument("--pool-refill", type=int, default=None)
     parser.add_argument("--refill-period", type=int, default=1)
+    parser.add_argument("--unroll", type=int, default=1)
     args = parser.parse_args()
     out = benchmark(args.env_name, args.num_resets, args.num_frames,
                     args.tile_size, args.num_envs,
                     reset_strategy=args.reset_strategy,
                     pool_refill=args.pool_refill,
-                    refill_period=args.refill_period)
+                    refill_period=args.refill_period,
+                    unroll=args.unroll)
     print(f"reset time (ms)      : {out['reset_ms']:.1f}")
     print(f"full render FPS      : {out['render_fps']:.0f}")
     print(f"RGB partial step FPS : {out['rgb_partial_step_fps']:.0f}")

@@ -54,6 +54,20 @@ def test_rollout_deterministic():
     np.testing.assert_array_equal(np.asarray(s1.grid), np.asarray(s2.grid))
 
 
+def test_rollout_unroll_equivalent():
+    """``unroll=U`` is a pure scheduling knob: the trajectory must be
+    bit-identical to the unroll=1 scan (it only lets XLA fuse across
+    consecutive step bodies on the launch-bound TPU path)."""
+    env = minigrid_tpu.make("MiniGrid-DoorKey-5x5-v0")
+    params = env.default_params
+    k = jax.random.PRNGKey(7)
+    _, t1 = rollout(env, params, k, num_envs=8, num_steps=16)
+    _, t4 = rollout(env, params, k, num_envs=8, num_steps=16, unroll=4)
+    for name in t1:
+        np.testing.assert_array_equal(
+            np.asarray(t1[name]), np.asarray(t4[name]))
+
+
 def test_rollout_runs_under_jit():
     env = minigrid_tpu.make("MiniGrid-Empty-8x8-v0")
     params = env.default_params
