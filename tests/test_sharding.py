@@ -116,3 +116,15 @@ def test_pod_mesh_ppo_on_device_farm():
     runner, metrics = jax.jit(fn)(runner)
     jax.block_until_ready(metrics)
     assert float(metrics["loss"]) == float(metrics["loss"])  # finite
+
+
+def test_bench_sharded_sweep():
+    """The weak-scaling harness runs on mesh prefixes of the virtual farm
+    and reports positive throughput + efficiency for each size."""
+    from minigrid_tpu.tools.bench_sharded import sweep
+
+    rows = sweep("MiniGrid-Empty-5x5-v0", [1, 2], envs_per_device=4,
+                 num_steps=8, verbose=False)
+    assert [r["n_devices"] for r in rows] == [1, 2]
+    assert all(r["steps_per_sec"] > 0 for r in rows)
+    assert rows[0]["efficiency"] == 1.0
