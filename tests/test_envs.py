@@ -189,20 +189,27 @@ def test_custom_env_example():
     standard machinery: registration, vectorized rollout, reward contract
     (only a ball pickup pays, and paying implies termination)."""
     import examples.custom_env  # noqa: F401 — registers the id
+    from minigrid_tpu import registry
     from minigrid_tpu.parallel.vector import rollout
 
-    env = minigrid_tpu.make("MiniGrid-LavaCourier-9x9-v0")
-    _, traj = rollout(env, env.default_params, jax.random.PRNGKey(1),
-                      num_envs=16, num_steps=64)
-    r = np.asarray(traj["reward"])
-    term = np.asarray(traj["terminated"])
-    assert (r >= 0).all()
-    assert term[r > 0].all()  # a paying step is a ball pickup → terminal
-    # generation invariants: lava curtain with exactly one gap, ball on the
-    # far side
-    _, state = env.reset(jax.random.PRNGKey(2), env.default_params)
-    g = np.asarray(state.grid)
-    mid = g.shape[0] // 2
-    lava = C.OBJECT_TO_IDX["lava"]
-    assert (g[mid, 1:-1, 0] == lava).sum() == g.shape[1] - 3
-    assert (g[mid + 1:, :, 0] == C.OBJECT_TO_IDX["ball"]).sum() == 1
+    try:
+        env = minigrid_tpu.make("MiniGrid-LavaCourier-9x9-v0")
+        _, traj = rollout(env, env.default_params, jax.random.PRNGKey(1),
+                          num_envs=16, num_steps=64)
+        r = np.asarray(traj["reward"])
+        term = np.asarray(traj["terminated"])
+        assert (r >= 0).all()
+        assert term[r > 0].all()  # a paying step is a ball pickup → terminal
+        # generation invariants: lava curtain with exactly one gap, ball on
+        # the far side
+        _, state = env.reset(jax.random.PRNGKey(2), env.default_params)
+        g = np.asarray(state.grid)
+        mid = g.shape[0] // 2
+        lava = C.OBJECT_TO_IDX["lava"]
+        assert (g[mid, 1:-1, 0] == lava).sum() == g.shape[1] - 3
+        assert (g[mid + 1:, :, 0] == C.OBJECT_TO_IDX["ball"]).sum() == 1
+    finally:
+        # Don't leak the example id into the built-in registry other tests
+        # sweep (e.g. the registry-wide seed-exact-support invariant).
+        registry._REGISTRY.pop("MiniGrid-LavaCourier-9x9-v0", None)
+        registry._INSTANCES.pop("MiniGrid-LavaCourier-9x9-v0", None)
