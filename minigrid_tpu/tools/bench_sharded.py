@@ -28,26 +28,49 @@ import numpy as np
 
 def measure(env_id: str, n_devices: int, envs_per_device: int,
             num_steps: int, seed: int = 0) -> float:
-    """Aggregate env-steps/s on the first ``n_devices`` devices."""
+    """Aggregate env-steps/s on the first ``n_devices`` devices.
+
+    The jitted program is built ONCE and timed on its second call —
+    ``sharded_rollout`` itself jits a fresh closure per invocation, which
+    would time a retrace+recompile instead of the steady state."""
     import jax
+    import jax.numpy as jnp
 
     import minigrid_tpu
-    from minigrid_tpu.parallel.sharding import env_mesh, sharded_rollout
+    from minigrid_tpu.parallel.sharding import (batch_shard_tree, env_mesh)
+    from minigrid_tpu.parallel.vector import VectorEnv
 
     devices = jax.devices()[:n_devices]
     mesh = env_mesh(devices)
     env = minigrid_tpu.make(env_id)
     num_envs = n_devices * envs_per_device
+    venv = VectorEnv(env, num_envs, env.default_params)
 
-    def run(s: int):
-        return sharded_rollout(env, env.default_params,
-                               jax.random.PRNGKey(s), num_envs, num_steps,
-                               mesh=mesh)
+    @jax.jit
+    def run(key):
+        key, k_reset = jax.random.split(key)
+        obs, state = venv._reset(k_reset)
+        state = jax.lax.with_sharding_constraint(
+            state, batch_shard_tree(state, mesh))
 
-    run(seed)  # compile + first call
+        def body(carry, k):
+            obs, state = carry
+            action = jax.random.randint(k, (num_envs,), 0, env.num_actions,
+                                        dtype=jnp.int32)
+            new_obs, new_state, reward, term, trunc, _ = venv._step(
+                state, action)
+            return (new_obs, new_state), reward.sum()
+
+        keys = jax.random.split(key, num_steps)
+        _, rewards = jax.lax.scan(body, (obs, state), keys)
+        return rewards.sum()
+
+    float(run(jax.random.PRNGKey(seed)))  # compile + first call
     t0 = time.perf_counter()
-    steps, _, _ = run(seed + 1)  # sharded_rollout syncs by host fetch
-    return steps / (time.perf_counter() - t0)
+    # Host-fetch sync: block_until_ready returns early on the tunneled
+    # axon backend (PERF.md timing protocol).
+    float(run(jax.random.PRNGKey(seed + 1)))
+    return num_envs * num_steps / (time.perf_counter() - t0)
 
 
 def sweep(env_id: str, device_counts, envs_per_device: int, num_steps: int,
