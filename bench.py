@@ -36,17 +36,23 @@ def main() -> None:
         obs, state = venv._reset(k_reset)
 
         def body(carry, k):
-            obs, state = carry
+            obs, state, r_sum, t_sum = carry
             action = jax.random.randint(
                 k, (NUM_ENVS,), 0, env.num_actions, dtype=jnp.int32
             )
             new_obs, new_state, reward, term, trunc, _ = venv._step(state, action)
-            return (new_obs, new_state), (reward, term)
+            # Running scalar sums in the carry: stacking [T, B] reward/term
+            # traces would add 2*T*B*4 bytes of HBM writes and measure the
+            # trace buffer, not the engine.
+            return (new_obs, new_state, r_sum + reward.sum(),
+                    t_sum + term.sum()), None
 
         keys = jax.random.split(key, NUM_STEPS)
-        (_, state), (rewards, terms) = jax.lax.scan(body, (obs, state), keys)
-        # Reduce on device; only two scalars cross to the host.
-        return jnp.sum(rewards), jnp.sum(terms)
+        (_, state, rewards, terms), _ = jax.lax.scan(
+            body, (obs, state, jnp.float32(0), jnp.int32(0)), keys
+        )
+        # Only two scalars cross to the host.
+        return rewards, terms
 
     def sync(vals) -> float:
         # HARD sync via host fetch: on the tunneled axon backend

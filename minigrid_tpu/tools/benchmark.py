@@ -50,8 +50,15 @@ def timed_rollout(venv, num_steps: int, refill_period: int = 1,
             def b(st, kk):
                 a = jax.random.randint(kk, (num_envs,), 0, env.num_actions,
                                        dtype=jnp.int32)
-                _, st2, r, te, tr, _ = step_fn(st, a)
-                return st2, r.sum()
+                o, st2, r, te, tr, _ = step_fn(st, a)
+                # Fold an obs checksum into the y: the protocol is "obs
+                # generated every step", and a discarded obs would let XLA
+                # dead-code-eliminate the whole observation gather
+                # (measured ~15% flattering on DoorKey-8x8).
+                chk = jax.tree_util.tree_reduce(
+                    lambda acc, leaf: acc + leaf.astype(jnp.float32).sum(),
+                    o, jnp.float32(0))
+                return st2, r.sum() + chk
             return b
 
         if K > 1:
