@@ -8,6 +8,9 @@ jitted lax.scan on device.  Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -15,6 +18,24 @@ import jax.numpy as jnp
 
 import minigrid_tpu
 from minigrid_tpu.parallel.vector import VectorEnv
+
+
+def correctness_gate() -> None:
+    """Refuse to record a number for a wrong program.
+
+    Runs the fast parity smoke (minigrid_tpu/tools/smoke.py: obs-impl
+    agreement incl. the dir==3 case + Empty/DoorKey reference lockstep) in a
+    CPU subprocess; any failure aborts the bench before a JSON line is
+    printed, so a broken kernel can never produce a recorded benchmark."""
+    proc = subprocess.run(
+        [sys.executable, "-m", "minigrid_tpu.tools.smoke"],
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=300,
+    )
+    if proc.returncode != 0:
+        raise SystemExit(
+            "bench.py: correctness smoke FAILED — no benchmark recorded"
+        )
 
 NUM_ENVS = 4096
 # Long scan: the remote-TPU dispatch overhead (~40 ms/call through the axon
@@ -26,6 +47,7 @@ BASELINE_TARGET = 10_000_000.0  # env-steps/s north star (BASELINE.md)
 
 
 def main() -> None:
+    correctness_gate()
     env = minigrid_tpu.make("MiniGrid-DoorKey-8x8-v0")
     params = env.default_params
     venv = VectorEnv(env, NUM_ENVS, params)

@@ -110,13 +110,15 @@ def gather_view_onehot(
            | (ys[None, :] < 0) | (ys[None, :] >= h))
     rect = jnp.where(oob[..., None], _WALL, rect)
     # view = rotate_left^(dir+1)(rect): four static transforms, one select.
+    # d == 3 rotates 4 times — the IDENTITY (grid.py:110-122), so the final
+    # branch returns rect unchanged.
     f0 = rect[::-1, :, :]
     f1 = rect[:, ::-1, :]
     d = agent_dir
     return jnp.where(
         d == 0, jnp.swapaxes(f0, 0, 1),
         jnp.where(d == 1, f0[:, ::-1, :],
-                  jnp.where(d == 2, jnp.swapaxes(f1, 0, 1), f1)))
+                  jnp.where(d == 2, jnp.swapaxes(f1, 0, 1), rect)))
 
 
 def gather_view_gather(

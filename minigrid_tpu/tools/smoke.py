@@ -1,0 +1,142 @@
+"""Fast correctness smoke gate (< 1 min) run before any benchmark is recorded.
+
+Benchmarks are only meaningful for a correct program; round 3 recorded a
+headline number against an obs kernel with a direction-3 rotation bug that the
+full parity suite would have caught but the bench did not.  This gate makes
+that failure mode mechanically impossible: ``bench.py`` and CI run it first
+and refuse to emit a number if it fails.
+
+Checks (a strict subset of the full suite, chosen for speed × blast radius):
+
+1. obs-impl agreement: ``gather_view_onehot`` vs ``gather_view_gather`` over
+   all 4 directions × every agent pose (incl. out-of-bounds edges) — the
+   exact check that would have caught the round-3 dir==3 regression.
+2. Reference lockstep for Empty-5x5 and DoorKey-8x8 (one seed each, 150
+   random actions): bitwise obs/reward/terminated/truncated parity vs the
+   reference object engine (minigrid_env.py:524-651), skipped with a notice
+   if the reference checkout is not importable.
+
+Run: ``python -m minigrid_tpu.tools.smoke`` (exit 0 = pass).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def _check_gather_impls() -> None:
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from minigrid_tpu.core.obs import gather_view_gather, gather_view_onehot
+
+    rng = np.random.default_rng(0)
+    w, h, v = 9, 6, 7
+    grid = jnp.asarray(
+        np.stack(
+            [
+                rng.integers(0, 34, (w, h)),
+                rng.integers(0, 10, (w, h)),
+                rng.integers(0, 3, (w, h)),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+    )
+    poses = jnp.asarray(
+        [[x, y] for x in range(w) for y in range(h)], dtype=jnp.int32
+    )
+    onehot = jax.jit(
+        jax.vmap(jax.vmap(gather_view_onehot, (None, 0, None, None)),
+                 (None, 0, 0, None)),
+        static_argnums=3,
+    )
+    gather = jax.jit(
+        jax.vmap(jax.vmap(gather_view_gather, (None, 0, None, None)),
+                 (None, 0, 0, None)),
+        static_argnums=3,
+    )
+    dirs = jnp.arange(4, dtype=jnp.int32)
+    poses_b = jnp.broadcast_to(poses[None], (4, poses.shape[0], 2))
+    a = np.asarray(onehot(grid, poses_b, dirs, v))
+    b = np.asarray(gather(grid, poses_b, dirs, v))
+    for d in range(4):
+        if not np.array_equal(a[d], b[d]):
+            raise AssertionError(
+                f"gather_view_onehot disagrees with gather_view_gather at "
+                f"agent_dir={d} — obs kernel is WRONG, refusing to bench"
+            )
+
+
+def _lockstep_vs_reference() -> bool:
+    """Returns True if the lockstep ran (reference importable), else False."""
+    ref_path = "/root/reference"
+    if os.path.isdir(ref_path) and ref_path not in sys.path:
+        sys.path.append(ref_path)
+    try:
+        from minigrid.envs.doorkey import DoorKeyEnv as RefDoorKey
+        from minigrid.envs.empty import EmptyEnv as RefEmpty
+    except Exception:
+        return False
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from minigrid_tpu.envs.doorkey import DoorKeyEnv
+    from minigrid_tpu.envs.empty import EmptyEnv
+    from minigrid_tpu.utils.convert import from_reference
+
+    for ref_env, env in [
+        (RefEmpty(size=5), EmptyEnv(size=5)),
+        (RefDoorKey(size=8), DoorKeyEnv(size=8)),
+    ]:
+        params = env.default_params
+        obs_ref, _ = ref_env.reset(seed=0)
+        state = from_reference(ref_env)
+        obs = env.observation(state, params)
+        assert np.array_equal(obs_ref["image"], np.asarray(obs["image"]))
+        step = jax.jit(lambda s, a, _env=env, _p=params: _env.step(s, a, _p))
+        rng = np.random.default_rng(0)
+        for t in range(150):
+            a = int(rng.integers(0, 8))
+            o_r, r_r, term_r, trunc_r, _ = ref_env.step(a)
+            o, state, r, term, trunc, _ = step(state, jnp.int32(a))
+            ok = (
+                np.array_equal(o_r["image"], np.asarray(o["image"]))
+                and o_r["direction"] == int(o["direction"])
+                and abs(r_r - float(r)) < 1e-6
+                and term_r == bool(term)
+                and trunc_r == bool(trunc)
+            )
+            if not ok:
+                raise AssertionError(
+                    f"lockstep parity broken: {type(env).__name__} t={t} "
+                    f"action={a} — refusing to bench a wrong program"
+                )
+            if term_r or trunc_r:
+                break
+    return True
+
+
+def run_smoke() -> None:
+    # Pin to the local CPU backend: the container's sitecustomize forces a
+    # remote TPU platform whose per-call tunnel latency makes a 150-step
+    # lockstep take minutes; parity of integer kernels is backend-independent
+    # and the point of this gate is to be fast.  (The JAX_PLATFORMS env var
+    # is overridden by the sitecustomize, so set the config directly.)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    _check_gather_impls()
+    ran = _lockstep_vs_reference()
+    if not ran:
+        print("smoke: reference not importable — lockstep skipped", file=sys.stderr)
+    print("SMOKE OK")
+
+
+if __name__ == "__main__":
+    run_smoke()

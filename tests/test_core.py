@@ -155,3 +155,46 @@ def test_obs_carrying_overlay():
     agent_cell = np.asarray(obs["image"])[v // 2, v - 1]
     assert agent_cell[0] == C.OBJECT_TO_IDX["ball"]
     assert agent_cell[1] == C.COLOR_TO_IDX["purple"]
+
+
+def test_gather_impls_agree_all_dirs_all_poses():
+    """gather_view_onehot == gather_view_gather for every direction and every
+    agent position (including edges where the window reads out of bounds) on
+    a random non-square grid — the regression test for the dir==3 rotation
+    bug (rotate_left^4 is the identity, grid.py:110-122)."""
+    from minigrid_tpu.core.obs import gather_view_gather, gather_view_onehot
+
+    rng = np.random.default_rng(0)
+    w, h, v = 9, 6, 7
+    grid = jnp.asarray(
+        np.stack(
+            [
+                rng.integers(0, 34, (w, h)),
+                rng.integers(0, 10, (w, h)),
+                rng.integers(0, 3, (w, h)),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+    )
+
+    onehot = jax.jit(
+        jax.vmap(jax.vmap(gather_view_onehot, (None, 0, None, None)),
+                 (None, 0, 0, None)),
+        static_argnums=3,
+    )
+    gather = jax.jit(
+        jax.vmap(jax.vmap(gather_view_gather, (None, 0, None, None)),
+                 (None, 0, 0, None)),
+        static_argnums=3,
+    )
+    poses = jnp.asarray(
+        [[x, y] for x in range(w) for y in range(h)], dtype=jnp.int32
+    )  # (P, 2) — every cell, incl. borders (window reads OOB there)
+    dirs = jnp.arange(4, dtype=jnp.int32)
+    poses_b = jnp.broadcast_to(poses[None], (4, poses.shape[0], 2))
+    a = onehot(grid, poses_b, dirs, v)
+    b = gather(grid, poses_b, dirs, v)
+    for d in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(a[d]), np.asarray(b[d]), err_msg=f"dir={d}"
+        )
