@@ -1,9 +1,29 @@
-"""TPU bench battery: re-measure the PERF.md table after round-3 changes.
+"""TPU bench battery: measure a list of env/vector configurations on the
+current backend and print one JSON line per configuration.
 
-Usage: python /tmp/battery.py SPEC [SPEC...]
-SPEC = env_id[:key=val,...]  with keys num_envs,steps,strategy,refill,period,unroll
-Prints one JSON line per spec.
+This is the harness behind PERF.md's table: every row there is produced by a
+SPEC string so the measurement is reproducible from the command line.
+
+Usage::
+
+    python -m minigrid_tpu.tools.battery SPEC [SPEC ...]
+
+    SPEC = env_id[:key=val,...]
+    keys = num_envs, steps, strategy, refill, strict, period, unroll
+
+Examples::
+
+    python -m minigrid_tpu.tools.battery MiniGrid-DoorKey-8x8-v0
+    python -m minigrid_tpu.tools.battery \
+        "BabyAI-GoToRedBall-v0:strategy=pooled,refill=64,period=8,unroll=4"
+
+The reference's own micro-bench (minigrid/benchmark.py:12-48) times one env
+object; this battery times the vectorized auto-reset rollout, which is the
+metric BASELINE.md targets.
 """
+
+from __future__ import annotations
+
 import json
 import sys
 
@@ -12,7 +32,7 @@ from minigrid_tpu.parallel.vector import VectorEnv
 from minigrid_tpu.tools.benchmark import timed_rollout
 
 
-def run(spec: str):
+def run_spec(spec: str) -> dict:
     if ":" in spec:
         env_id, opts_s = spec.split(":", 1)
         opts = dict(kv.split("=") for kv in opts_s.split(","))
@@ -30,15 +50,24 @@ def run(spec: str):
                      pool_refill=refill, strict_refill=strict)
     sps, compile_s = timed_rollout(venv, steps, refill_period=period,
                                    unroll=unroll)
-    print(json.dumps({
+    row = {
         "env": env_id, "num_envs": num_envs, "steps": steps,
         "strategy": venv.reset_strategy, "refill_period": period,
         "unroll": unroll, "pool_refill": venv.pool_refill
         if venv.reset_strategy == "pooled" else None, "strict": strict,
         "steps_per_sec": round(sps), "compile_s": round(compile_s, 1),
-    }), flush=True)
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main(argv: list[str]) -> None:
+    if not argv:
+        print(__doc__, file=sys.stderr)
+        raise SystemExit(2)
+    for spec in argv:
+        run_spec(spec)
 
 
 if __name__ == "__main__":
-    for spec in sys.argv[1:]:
-        run(spec)
+    main(sys.argv[1:])
