@@ -58,20 +58,28 @@ def main() -> None:
         obs, state = venv._reset(k_reset)
 
         def body(carry, k):
-            obs, state, r_sum, t_sum = carry
+            state, r_sum, t_sum = carry
             action = jax.random.randint(
                 k, (NUM_ENVS,), 0, env.num_actions, dtype=jnp.int32
             )
             new_obs, new_state, reward, term, trunc, _ = venv._step(state, action)
-            # Running scalar sums in the carry: stacking [T, B] reward/term
-            # traces would add 2*T*B*4 bytes of HBM writes and measure the
-            # trace buffer, not the engine.
-            return (new_obs, new_state, r_sum + reward.sum(),
+            # Fold an obs checksum into the running sum: the metric is "obs
+            # generated every step", and a merely-carried obs is dead to
+            # XLA's while-loop simplifier, which then deletes the whole
+            # per-step observation program (measured 89M vs the honest 38M
+            # on this chip).  Running scalar sums in the carry: stacking
+            # [T, B] reward/term traces would add 2*T*B*4 bytes of HBM
+            # writes and measure the trace buffer, not the engine.
+            chk = jax.tree_util.tree_reduce(
+                lambda acc, leaf: acc + leaf.astype(jnp.float32).sum(),
+                new_obs, jnp.float32(0)
+            )
+            return (new_state, r_sum + reward.sum() + chk,
                     t_sum + term.sum()), None
 
         keys = jax.random.split(key, NUM_STEPS)
-        (_, state, rewards, terms), _ = jax.lax.scan(
-            body, (obs, state, jnp.float32(0), jnp.int32(0)), keys
+        (state, rewards, terms), _ = jax.lax.scan(
+            body, (state, jnp.float32(0), jnp.int32(0)), keys
         )
         # Only two scalars cross to the host.
         return rewards, terms

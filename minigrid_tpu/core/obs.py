@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from minigrid_tpu.core import constants as C
@@ -49,13 +50,19 @@ def view_world_coords(
 
 
 # How the egocentric window is extracted.  'onehot' evaluates the window
-# as a one-hot masked reduction (pure elementwise VPU work); 'gather' is
+# as a one-hot masked reduction (pure elementwise VPU work); 'matmul'
+# evaluates the same two reductions as int8 dot_generals (exact — cell
+# codes are < 127 — and eligible for the MXU's int8 path); 'gather' is
 # the naive dynamic gather.  A batched TPU gather with per-env indices
 # lowers to a serialized element-fetch kernel: measured 2.0 ms/step at
 # batch 4096 on v5e — 40x the REST of the whole step program — while the
-# one-hot reduction fuses with its consumers.  ('gather' is kept for
-# cross-checking; tests assert the two agree.)
-GATHER_IMPL = "onehot"
+# one-hot reduction fuses with its consumers.  All impls are asserted
+# equal over every direction × pose in
+# tests/test_core.py::test_gather_impls_agree_all_dirs_all_poses and the
+# bench smoke gate (tools/smoke.py).  MINIGRID_TPU_GATHER overrides.
+import os as _os
+
+GATHER_IMPL = _os.environ.get("MINIGRID_TPU_GATHER", "onehot")
 
 
 def _view_exts(agent_pos, agent_dir, view_size: int):
@@ -121,6 +128,47 @@ def gather_view_onehot(
                   jnp.where(d == 2, jnp.swapaxes(f1, 0, 1), rect)))
 
 
+def gather_view_matmul(
+    grid: jnp.ndarray,
+    agent_pos: jnp.ndarray,
+    agent_dir: jnp.ndarray,
+    view_size: int,
+) -> jnp.ndarray:
+    """Window extraction as two int8 matmuls (MXU-eligible alternative to
+    the one-hot masked reductions; exact — cell codes < 127 fit int8, and
+    the one-hot rows make every output a single product ≤ 255 < 2^31)."""
+    w, h, _ = grid.shape
+    v = view_size
+    top_x, top_y = _view_exts(agent_pos, agent_dir, v)
+    ar = jnp.arange(v, dtype=jnp.int32)
+    xs = top_x + ar
+    ys = top_y + ar
+    eq_x = (xs[:, None] == jnp.arange(w, dtype=jnp.int32)[None, :]).astype(
+        jnp.int8)  # [V,W]
+    eq_y = (ys[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :]).astype(
+        jnp.int8)  # [V,H]
+    g8 = grid.astype(jnp.int8)
+    # rect1[i,(h,c)] = eq_x @ grid  — contraction over w
+    rect1 = jax.lax.dot_general(
+        eq_x, g8.reshape(w, h * 3), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).reshape(v, h, 3)
+    # rect[i,j,c] = eq_y @ rect1 over h (einsum 'jh,ihc->ijc')
+    rect = jax.lax.dot_general(
+        eq_y.astype(jnp.int32), rect1, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)  # [V(j), V(i), 3]
+    rect = jnp.swapaxes(rect, 0, 1).astype(jnp.uint8)  # [V(i), V(j), 3]
+    oob = ((xs[:, None] < 0) | (xs[:, None] >= w)
+           | (ys[None, :] < 0) | (ys[None, :] >= h))
+    rect = jnp.where(oob[..., None], _WALL, rect)
+    f0 = rect[::-1, :, :]
+    f1 = rect[:, ::-1, :]
+    d = agent_dir
+    return jnp.where(
+        d == 0, jnp.swapaxes(f0, 0, 1),
+        jnp.where(d == 1, f0[:, ::-1, :],
+                  jnp.where(d == 2, jnp.swapaxes(f1, 0, 1), rect)))
+
+
 def gather_view_gather(
     grid: jnp.ndarray,
     agent_pos: jnp.ndarray,
@@ -144,6 +192,8 @@ def gather_view(
     """Extract the rotated egocentric V×V×3 window (slice+rotate fused)."""
     if GATHER_IMPL == "onehot":
         return gather_view_onehot(grid, agent_pos, agent_dir, view_size)
+    if GATHER_IMPL == "matmul":
+        return gather_view_matmul(grid, agent_pos, agent_dir, view_size)
     return gather_view_gather(grid, agent_pos, agent_dir, view_size)
 
 

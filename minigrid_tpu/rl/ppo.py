@@ -58,6 +58,13 @@ class PPOConfig:
     # env resolves to the pooled reset strategy.  Must divide num_steps,
     # and refill_period*pool_refill must divide the 2*num_envs pool ring
     # (or exceed it — then each refill rewrites the whole ring).
+    #
+    # Refill semantics under the pooled strategy follow the VectorEnv the
+    # learner is given: best-effort by default (stale replays at the
+    # pool-miss rate; pass strict_refill=True to VectorEnv for always-fresh
+    # levels — see PERF.md round-3 #3/#5).  The published learner results
+    # (PERF.md "Learner": Empty-8x8, DoorKey-5x5, MemoryS7) all resolve to
+    # the FUSED strategy, so no stale replay was involved in them at all.
     refill_period: int = struct.field(pytree_node=False, default=1)
 
 

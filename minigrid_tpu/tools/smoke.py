@@ -31,7 +31,11 @@ def _check_gather_impls() -> None:
     import jax
     import jax.numpy as jnp
 
-    from minigrid_tpu.core.obs import gather_view_gather, gather_view_onehot
+    from minigrid_tpu.core.obs import (
+        gather_view_gather,
+        gather_view_matmul,
+        gather_view_onehot,
+    )
 
     rng = np.random.default_rng(0)
     w, h, v = 9, 6, 7
@@ -48,26 +52,25 @@ def _check_gather_impls() -> None:
     poses = jnp.asarray(
         [[x, y] for x in range(w) for y in range(h)], dtype=jnp.int32
     )
-    onehot = jax.jit(
-        jax.vmap(jax.vmap(gather_view_onehot, (None, 0, None, None)),
-                 (None, 0, 0, None)),
-        static_argnums=3,
-    )
-    gather = jax.jit(
-        jax.vmap(jax.vmap(gather_view_gather, (None, 0, None, None)),
-                 (None, 0, 0, None)),
-        static_argnums=3,
-    )
+    def batched(fn):
+        return jax.jit(
+            jax.vmap(jax.vmap(fn, (None, 0, None, None)), (None, 0, 0, None)),
+            static_argnums=3,
+        )
+
     dirs = jnp.arange(4, dtype=jnp.int32)
     poses_b = jnp.broadcast_to(poses[None], (4, poses.shape[0], 2))
-    a = np.asarray(onehot(grid, poses_b, dirs, v))
-    b = np.asarray(gather(grid, poses_b, dirs, v))
-    for d in range(4):
-        if not np.array_equal(a[d], b[d]):
-            raise AssertionError(
-                f"gather_view_onehot disagrees with gather_view_gather at "
-                f"agent_dir={d} — obs kernel is WRONG, refusing to bench"
-            )
+    ref = np.asarray(batched(gather_view_gather)(grid, poses_b, dirs, v))
+    for name, fn in [("onehot", gather_view_onehot),
+                     ("matmul", gather_view_matmul)]:
+        out = np.asarray(batched(fn)(grid, poses_b, dirs, v))
+        for d in range(4):
+            if not np.array_equal(out[d], ref[d]):
+                raise AssertionError(
+                    f"gather_view_{name} disagrees with gather_view_gather "
+                    f"at agent_dir={d} — obs kernel is WRONG, refusing to "
+                    f"bench"
+                )
 
 
 def _lockstep_vs_reference() -> bool:

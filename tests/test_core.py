@@ -158,11 +158,16 @@ def test_obs_carrying_overlay():
 
 
 def test_gather_impls_agree_all_dirs_all_poses():
-    """gather_view_onehot == gather_view_gather for every direction and every
-    agent position (including edges where the window reads out of bounds) on
-    a random non-square grid — the regression test for the dir==3 rotation
-    bug (rotate_left^4 is the identity, grid.py:110-122)."""
-    from minigrid_tpu.core.obs import gather_view_gather, gather_view_onehot
+    """Every gather_view impl (onehot / matmul / gather) agrees for every
+    direction and every agent position (including edges where the window
+    reads out of bounds) on a random non-square grid — the regression test
+    for the dir==3 rotation bug (rotate_left^4 is the identity,
+    grid.py:110-122)."""
+    from minigrid_tpu.core.obs import (
+        gather_view_gather,
+        gather_view_matmul,
+        gather_view_onehot,
+    )
 
     rng = np.random.default_rng(0)
     w, h, v = 9, 6, 7
@@ -177,24 +182,22 @@ def test_gather_impls_agree_all_dirs_all_poses():
         ).astype(np.uint8)
     )
 
-    onehot = jax.jit(
-        jax.vmap(jax.vmap(gather_view_onehot, (None, 0, None, None)),
-                 (None, 0, 0, None)),
-        static_argnums=3,
-    )
-    gather = jax.jit(
-        jax.vmap(jax.vmap(gather_view_gather, (None, 0, None, None)),
-                 (None, 0, 0, None)),
-        static_argnums=3,
-    )
+    def batched(fn):
+        return jax.jit(
+            jax.vmap(jax.vmap(fn, (None, 0, None, None)), (None, 0, 0, None)),
+            static_argnums=3,
+        )
+
     poses = jnp.asarray(
         [[x, y] for x in range(w) for y in range(h)], dtype=jnp.int32
     )  # (P, 2) — every cell, incl. borders (window reads OOB there)
     dirs = jnp.arange(4, dtype=jnp.int32)
     poses_b = jnp.broadcast_to(poses[None], (4, poses.shape[0], 2))
-    a = onehot(grid, poses_b, dirs, v)
-    b = gather(grid, poses_b, dirs, v)
-    for d in range(4):
-        np.testing.assert_array_equal(
-            np.asarray(a[d]), np.asarray(b[d]), err_msg=f"dir={d}"
-        )
+    ref = np.asarray(batched(gather_view_gather)(grid, poses_b, dirs, v))
+    for name, fn in [("onehot", gather_view_onehot),
+                     ("matmul", gather_view_matmul)]:
+        out = np.asarray(batched(fn)(grid, poses_b, dirs, v))
+        for d in range(4):
+            np.testing.assert_array_equal(
+                out[d], ref[d], err_msg=f"impl={name} dir={d}"
+            )

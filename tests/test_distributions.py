@@ -378,3 +378,245 @@ def test_harness_detects_bias():
     # and a same-distribution draw passes
     chi2_same(list(rng.integers(0, 6, 2000)),
               list(rng.integers(0, 6, 2000)), "null-check")
+
+
+# ---------------------------------------------------------------------------
+# exact-oracle comparisons (VERDICT r3 task 6)
+#
+# utils/exact.py replays the reference's np_random call order host-side, so
+# its layouts ARE the reference distribution — comparing the production
+# jax.random generators against reset_exact closes the distribution gap for
+# every family without importing the reference at all.
+# ---------------------------------------------------------------------------
+
+
+def exact_samples(env, extract, n: int):
+    from minigrid_tpu.utils.exact import reset_exact
+
+    params = env.default_params
+    out = []
+    for seed in range(n):
+        obs, state = reset_exact(env, seed, params)
+        host = jax.tree_util.tree_map(np.asarray, state)
+        out.append(extract(host, np.asarray(obs["mission"]), env))
+    return out
+
+
+def prod_samples(env, extract, n: int, batch: int = 250):
+    params = env.default_params
+    reset = jax.jit(jax.vmap(lambda k: env.reset(k, params)))
+    out = []
+    for i in range(0, n, batch):
+        keys = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(77), i), min(batch, n - i))
+        obs, state = reset(keys)
+        host = jax.tree_util.tree_map(np.asarray, state)
+        ms = np.asarray(obs["mission"])
+        for j in range(keys.shape[0]):
+            s_j = jax.tree_util.tree_map(lambda x: x[j], host)
+            out.append(extract(s_j, ms[j], env))
+    return out
+
+
+def compare_vs_exact(env_id, extract_keys, n=1500, exact_n=None):
+    """Chi2-compare production jax generator stats vs reset_exact stats.
+
+    extract fns take (state_slice, mission_codes, env) with numpy leaves."""
+    env = minigrid_tpu.make(env_id)
+    extract = lambda s, m, e: {k: f(s, m, e) for k, f in extract_keys.items()}
+    a = exact_samples(env, extract, exact_n or n)
+    b = prod_samples(env, extract, n)
+    for k in extract_keys:
+        chi2_same([s[k] for s in a], [s[k] for s in b], f"{env_id}:{k}")
+
+
+def _cells(s, t):
+    return np.argwhere(s.grid[..., 0] == T[t])
+
+
+def _typed_multiset(s, types=("key", "ball", "box")):
+    out = []
+    for t in types:
+        for x, y in _cells(s, t):
+            out.append((t, int(s.grid[x, y, 1]), int(x), int(y)))
+    return tuple(sorted(out))
+
+
+def _agent(s, m, e):
+    return (int(s.agent_pos[0]), int(s.agent_pos[1]))
+
+
+def _dir(s, m, e):
+    return int(s.agent_dir)
+
+
+def _doors(s, m, e):
+    return tuple(sorted(
+        (int(x), int(y), int(s.grid[x, y, 1]), int(s.grid[x, y, 2]))
+        for x, y in _cells(s, "door")))
+
+
+def _mission_text(s, m, e):
+    return e.mission_text(m)
+
+
+def test_redbluedoors_distribution():
+    """Red/blue door slots + agent pose (redbluedoors.py:69-93)."""
+
+    def red_y(s, m, e):
+        d = [p for p in _cells(s, "door")
+             if s.grid[p[0], p[1], 1] == C.COLOR_TO_IDX["red"]][0]
+        return (int(d[0]), int(d[1]))
+
+    def blue_y(s, m, e):
+        d = [p for p in _cells(s, "door")
+             if s.grid[p[0], p[1], 1] == C.COLOR_TO_IDX["blue"]][0]
+        return (int(d[0]), int(d[1]))
+
+    compare_vs_exact(
+        "MiniGrid-RedBlueDoors-6x6-v0",
+        {"red": red_y, "blue": blue_y, "agent": _agent, "dir": _dir},
+    )
+
+
+def test_memory_distribution():
+    """Start object draw + upper/lower match assignment (memory.py:77-149)."""
+
+    def layout(s, m, e):
+        return _typed_multiset(s, ("key", "ball"))
+
+    compare_vs_exact(
+        "MiniGrid-MemoryS7-v0",
+        {"layout": layout, "agent": _agent},
+    )
+
+
+def test_memory_random_length_distribution():
+    """Random hallway length variant (memory.py:106-109)."""
+
+    def hallway_len(s, m, e):
+        # rightmost non-wall column in the center row marks the hallway end
+        row = s.grid[:, s.grid.shape[1] // 2, 0]
+        return int(np.max(np.nonzero(row != T["wall"])[0]))
+
+    def layout(s, m, e):
+        return _typed_multiset(s, ("key", "ball"))
+
+    compare_vs_exact(
+        "MiniGrid-MemoryS13Random-v0",
+        {"hallway": hallway_len, "layout": layout, "agent": _agent},
+        n=1000,
+    )
+
+
+def test_lockedroom_distribution():
+    """Locked/key room draws + colors (lockedroom.py:90-140)."""
+
+    def locked_door(s, m, e):
+        d = [p for p in _cells(s, "door")
+             if s.grid[p[0], p[1], 2] == C.STATE_TO_IDX["locked"]][0]
+        return (int(d[0]), int(d[1]), int(s.grid[d[0], d[1], 1]))
+
+    def key(s, m, e):
+        k = _cells(s, "key")[0]
+        return (int(k[0]), int(k[1]), int(s.grid[k[0], k[1], 1]))
+
+    def goal(s, m, e):
+        g = _cells(s, "goal")[0]
+        return (int(g[0]), int(g[1]))
+
+    compare_vs_exact(
+        "MiniGrid-LockedRoom-v0",
+        {"locked": locked_door, "key": key, "goal": goal,
+         "doors": _doors, "agent": _agent},
+        n=1000,
+    )
+
+
+def test_obstructedmaze_1dlhb_distribution():
+    """Door slot, blocking ball, hidden-key box + its contents
+    (obstructedmaze.py:59-101, 129-160)."""
+
+    def hidden_key(s, m, e):
+        b = _cells(s, "box")[0]
+        c = s.box_contains[b[0], b[1]]
+        return (int(b[0]), int(b[1]), int(c[0]), int(c[1]))
+
+    def balls(s, m, e):
+        return tuple(sorted((int(x), int(y), int(s.grid[x, y, 1]))
+                            for x, y in _cells(s, "ball")))
+
+    compare_vs_exact(
+        "MiniGrid-ObstructedMaze-1Dlhb-v0",
+        {"doors": _doors, "balls": balls, "hidden_key": hidden_key,
+         "agent": _agent},
+        n=1000,
+    )
+
+
+def test_obstructedmaze_full_distribution():
+    """Full maze: door graph, ball/box placement aggregate
+    (obstructedmaze.py:176-230)."""
+
+    def boxes(s, m, e):
+        return _typed_multiset(s, ("box",))
+
+    def balls(s, m, e):
+        return _typed_multiset(s, ("ball",))
+
+    compare_vs_exact(
+        "MiniGrid-ObstructedMaze-Full-v0",
+        {"doors": _doors, "boxes": boxes, "balls": balls, "agent": _agent},
+        n=800,
+    )
+
+
+def test_babyai_open_distribution():
+    """Open family (open.py Open): door layout + mission surface."""
+    compare_vs_exact(
+        "BabyAI-Open-v0",
+        {"doors": _doors, "agent": _agent, "mission": _mission_text},
+        n=1000,
+    )
+
+
+def test_babyai_pickuploc_distribution():
+    """PickupLoc (pickup.py): object multiset + loc-predicate missions."""
+
+    def objs(s, m, e):
+        return _typed_multiset(s)
+
+    compare_vs_exact(
+        "BabyAI-PickupLoc-v0",
+        {"objs": objs, "agent": _agent, "mission": _mission_text},
+        n=1000,
+    )
+
+
+def test_babyai_putnextlocal_distribution():
+    """PutNextLocal (putnext.py): object multiset + a/b descriptor draw."""
+
+    def objs(s, m, e):
+        return _typed_multiset(s)
+
+    compare_vs_exact(
+        "BabyAI-PutNextLocal-v0",
+        {"objs": objs, "agent": _agent, "mission": _mission_text},
+        n=1000,
+    )
+
+
+def test_babyai_unlock_distribution():
+    """Unlock (unlock.py): locked door draw, key room, distractors."""
+
+    def key(s, m, e):
+        ks = _cells(s, "key")
+        return tuple(sorted((int(x), int(y), int(s.grid[x, y, 1]))
+                            for x, y in ks))
+
+    compare_vs_exact(
+        "BabyAI-UnlockLocal-v0",
+        {"doors": _doors, "key": key, "agent": _agent,
+         "mission": _mission_text},
+        n=1000,
+    )
