@@ -50,8 +50,11 @@ def run_spec(spec: str) -> dict:
                      pool_refill=refill, strict_refill=strict)
     sps, compile_s = timed_rollout(venv, steps, refill_period=period,
                                    unroll=unroll)
+    from minigrid_tpu.core.obs import GATHER_IMPL
+
     row = {
         "env": env_id, "num_envs": num_envs, "steps": steps,
+        "gather_impl": GATHER_IMPL,
         "strategy": venv.reset_strategy, "refill_period": period,
         "unroll": unroll, "pool_refill": venv.pool_refill
         if venv.reset_strategy == "pooled" else None, "strict": strict,

@@ -38,15 +38,20 @@ def profile_rollout(env_id: str, num_envs: int, num_steps: int,
         key, kr = jax.random.split(key)
         obs, state = venv._reset(kr)
 
-        def body(carry, k):
-            obs, state = carry
+        def body(state, k):
             a = jax.random.randint(k, (num_envs,), 0, env.num_actions,
                                    dtype=jnp.int32)
             no, ns, r, te, tr, _ = venv._step(state, a)
-            return (no, ns), (r.sum(), (te | tr).sum())
+            # Checksum the obs so the profile includes the observation
+            # program — a merely-carried obs is dead to XLA's while-loop
+            # simplifier and would vanish from the trace (bench.py gate).
+            chk = jax.tree_util.tree_reduce(
+                lambda acc, leaf: acc + leaf.astype(jnp.float32).sum(),
+                no, jnp.float32(0))
+            return ns, (r.sum() + chk, (te | tr).sum())
 
         keys = jax.random.split(key, num_steps)
-        (_, state), (rs, ds) = jax.lax.scan(body, (obs, state), keys)
+        state, (rs, ds) = jax.lax.scan(body, state, keys)
         return rs.sum(), ds.sum()
 
     out = run(jax.random.PRNGKey(0))

@@ -35,6 +35,7 @@ def _check_gather_impls() -> None:
         gather_view_gather,
         gather_view_matmul,
         gather_view_onehot,
+        gather_view_onehot2d,
     )
 
     rng = np.random.default_rng(0)
@@ -62,6 +63,7 @@ def _check_gather_impls() -> None:
     poses_b = jnp.broadcast_to(poses[None], (4, poses.shape[0], 2))
     ref = np.asarray(batched(gather_view_gather)(grid, poses_b, dirs, v))
     for name, fn in [("onehot", gather_view_onehot),
+                     ("onehot2d", gather_view_onehot2d),
                      ("matmul", gather_view_matmul)]:
         out = np.asarray(batched(fn)(grid, poses_b, dirs, v))
         for d in range(4):
