@@ -144,15 +144,27 @@ def sharded_rollout(
         )
 
         def body(carry, k):
-            obs, state = carry
+            state, r_sum, d_sum, c_sum = carry
             action = jax.random.randint(k, (num_envs,), 0, env.num_actions,
                                         dtype=jnp.int32)
             new_obs, new_state, reward, term, trunc, _ = venv._step(state, action)
-            return (new_obs, new_state), (reward, term | trunc)
+            # Checksum the obs so the measured program really generates one
+            # per step (a merely-carried obs is deleted by XLA's while-loop
+            # simplifier — see PERF.md timing protocol).  Running scalar sums
+            # in the carry instead of stacked [T, B] traces: the trace buffer
+            # would add HBM writes that measure the buffer, not the engine.
+            chk = jax.tree_util.tree_reduce(
+                lambda acc, leaf: acc + leaf.astype(jnp.float32).sum(),
+                new_obs, jnp.float32(0))
+            return (new_state, r_sum + reward.sum(),
+                    d_sum + (term | trunc).sum(), c_sum + chk), None
 
         keys = jax.random.split(key, num_steps)
-        (_, state), (rewards, dones) = jax.lax.scan(body, (obs, state), keys)
-        return jnp.sum(rewards), jnp.sum(dones)
+        (state, rewards, dones, _chk), _ = jax.lax.scan(
+            body, (state, jnp.float32(0), jnp.int32(0), jnp.float32(0)), keys
+        )
+        # _chk stays in the returned tuple so the obs program is live.
+        return rewards, dones, _chk
 
-    total_reward, total_dones = run(key)
+    total_reward, total_dones, _ = run(key)
     return num_envs * num_steps, float(total_reward), int(total_dones)

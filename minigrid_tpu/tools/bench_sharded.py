@@ -53,16 +53,21 @@ def measure(env_id: str, n_devices: int, envs_per_device: int,
         state = jax.lax.with_sharding_constraint(
             state, batch_shard_tree(state, mesh))
 
-        def body(carry, k):
-            obs, state = carry
+        def body(state, k):
             action = jax.random.randint(k, (num_envs,), 0, env.num_actions,
                                         dtype=jnp.int32)
             new_obs, new_state, reward, term, trunc, _ = venv._step(
                 state, action)
-            return (new_obs, new_state), reward.sum()
+            # Checksum the obs (PERF.md protocol): a merely-carried obs is
+            # dead to XLA's while-loop simplifier, which then deletes the
+            # whole per-step observation program from the timed rollout.
+            chk = jax.tree_util.tree_reduce(
+                lambda acc, leaf: acc + leaf.astype(jnp.float32).sum(),
+                new_obs, jnp.float32(0))
+            return new_state, reward.sum() + chk
 
         keys = jax.random.split(key, num_steps)
-        _, rewards = jax.lax.scan(body, (obs, state), keys)
+        _, rewards = jax.lax.scan(body, state, keys)
         return rewards.sum()
 
     float(run(jax.random.PRNGKey(seed)))  # compile + first call
