@@ -34,6 +34,19 @@ _DOOR = C.OBJECT_TO_IDX["door"]
 
 class MultiRoomEnv(Env):
     expensive_generation = True  # recursive chain placement with retry loops
+    # Episode ends desynchronize within the first rotation (goal
+    # terminations scatter; staggered resets then scatter the truncations
+    # too), so the batch-level cond fires its full-width chain generator
+    # nearly every step.  Measured at B=4096 on v5e (PERF.md r4):
+    # conditional 0.33M steps/s; pooled windows 64/32/16/8 (period=8,
+    # unroll=4) → 6.1/9.0/11.4/12.2M.  The refill WORK rate (levels/step ×
+    # ~15 µs chain-gen per level) is the binding cost, so smaller windows
+    # are faster but refresh each pool slot more slowly (window C refreshes
+    # a slot every 2B/C steps vs ~120-step episodes — stale-replay rate
+    # rises accordingly).  1/128 (C=32 at B=4096) balances the two;
+    # benchmark configs pass pool_refill explicitly.
+    desynchronized_resets = True
+    pool_refill_fraction = 1 / 128
 
     name = "MultiRoom"
 
