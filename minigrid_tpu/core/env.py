@@ -23,7 +23,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from minigrid_tpu.core.obs import gen_obs
+from minigrid_tpu.core.obs import gen_obs, gen_obs_batch
 from minigrid_tpu.core.state import EnvParams, EnvState
 from minigrid_tpu.core.step import NUM_ACTIONS, StepOutcome, base_step
 
@@ -114,6 +114,16 @@ class Env:
     # -- observation -----------------------------------------------------------
     def observation(self, state: EnvState, params: EnvParams) -> dict:
         return gen_obs(state, params)
+
+    def observation_batch(self, states: EnvState, params: EnvParams) -> dict:
+        """Observation over a leading env-batch axis.  Families that keep the
+        stock symbolic obs get the fused batched kernel path
+        (:func:`minigrid_tpu.core.obs.gen_obs_batch`, one Pallas gather on
+        TPU); any subclass that overrides :meth:`observation` falls back to
+        vmapping its own definition."""
+        if type(self).observation is Env.observation:
+            return gen_obs_batch(states, params)
+        return jax.vmap(lambda s: self.observation(s, params))(states)
 
     # -- reward helper (minigrid_env.py:239-244) -------------------------------
     def task_reward(self, state: EnvState, params: EnvParams) -> jnp.ndarray:

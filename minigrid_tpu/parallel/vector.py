@@ -189,7 +189,7 @@ class VectorEnv:
             if not pooled:
                 keys = jax.random.split(key, num_envs)
                 envs = _gen_many(keys)
-                obs = jax.vmap(lambda s: env.observation(s, params_))(envs)
+                obs = env.observation_batch(envs, params_)
                 return obs, envs
             key, k_gen, k_refill = jax.random.split(key, 3)
             # one generator call site covers envs AND the initial pool fill
@@ -200,7 +200,7 @@ class VectorEnv:
             )
             envs = jax.tree_util.tree_map(lambda x: x[:num_envs], both)
             pool = jax.tree_util.tree_map(lambda x: x[num_envs:], both)
-            obs = jax.vmap(lambda s: env.observation(s, params_))(envs)
+            obs = env.observation_batch(envs, params_)
             return obs, PooledState(
                 envs=envs,
                 pool=pool,
@@ -216,11 +216,9 @@ class VectorEnv:
 
         def _finish(next_state, new_state, reward, terminated, truncated):
             info: dict = {}
-            new_obs = jax.vmap(lambda s: env.observation(s, params_))(new_state)
+            new_obs = env.observation_batch(new_state, params_)
             if final_obs:
-                info["final_obs"] = jax.vmap(
-                    lambda s: env.observation(s, params_)
-                )(next_state)
+                info["final_obs"] = env.observation_batch(next_state, params_)
             return new_obs, reward, terminated, truncated, info
 
         def _step(state, action: jnp.ndarray):
@@ -229,7 +227,7 @@ class VectorEnv:
                 lambda s, a: env.step_state(s, a, params_)
             )(envs, action)
             if not auto_reset:
-                obs = jax.vmap(lambda s: env.observation(s, params_))(next_state)
+                obs = env.observation_batch(next_state, params_)
                 return obs, next_state, reward, terminated, truncated, {}
             done = terminated | truncated
 
