@@ -74,6 +74,35 @@ def _check_gather_impls() -> None:
                     f"bench"
                 )
 
+    # The batched Pallas gather (the TPU hot path), run through the Pallas
+    # interpreter so this gate stays CPU-fast: exact kernel program, every
+    # direction x pose (flattened to one lane-tileable batch).
+    from minigrid_tpu.ops import obs_pallas
+
+    combos = [(x, y, d) for x in range(w) for y in range(h) for d in range(4)]
+    combos += combos[: (-len(combos)) % 128]
+    pos_b = jnp.asarray([(x, y) for x, y, _ in combos], jnp.int32)
+    dir_b = jnp.asarray([d for _, _, d in combos], jnp.int32)
+    grids = jnp.broadcast_to(grid[None], (len(combos),) + grid.shape)
+    ref_b = np.asarray(
+        jax.jit(jax.vmap(lambda p, d: gather_view_gather(grid, p, d, v)))(
+            pos_b, dir_b
+        )
+    )
+    saved = obs_pallas.INTERPRET
+    obs_pallas.INTERPRET = True
+    try:
+        out_b = np.asarray(
+            obs_pallas.gather_view_pallas(grids, pos_b, dir_b, v)
+        )
+    finally:
+        obs_pallas.INTERPRET = saved
+    if not np.array_equal(out_b, ref_b):
+        raise AssertionError(
+            "gather_view_pallas disagrees with gather_view_gather — the "
+            "batched obs kernel is WRONG, refusing to bench"
+        )
+
 
 def _lockstep_vs_reference() -> bool:
     """Returns True if the lockstep ran (reference importable), else False."""
