@@ -82,7 +82,10 @@ class ShardedVectorEnv:
         )
         self.num_envs = num_envs
         self.params = params if params is not None else env.default_params
-        self._inner = VectorEnv(env, num_envs, self.params, auto_reset=auto_reset)
+        # obs_impl='vmap': GSPMD cannot partition an opaque Mosaic kernel —
+        # the fused obs path applies to local (per-host) batches only.
+        self._inner = VectorEnv(env, num_envs, self.params,
+                                auto_reset=auto_reset, obs_impl="vmap")
         shard = batch_sharding(self.mesh, axis_name)
 
         def _shard_tree(tree: Any) -> Any:
@@ -133,7 +136,7 @@ def sharded_rollout(
 
     mesh = mesh if mesh is not None else env_mesh(axis_name=axis_name)
     shard = batch_sharding(mesh, axis_name)
-    venv = VectorEnv(env, num_envs, params)
+    venv = VectorEnv(env, num_envs, params, obs_impl="vmap")
 
     @jax.jit
     def run(key):

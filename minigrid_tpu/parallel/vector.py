@@ -77,12 +77,21 @@ class VectorEnv:
                  conditional_reset: bool | None = None,
                  reset_strategy: str | None = None,
                  pool_refill: int | None = None,
-                 strict_refill: bool = False):
+                 strict_refill: bool = False,
+                 obs_impl: str = "auto"):
         self.env = env
         self.num_envs = num_envs
         self.params = params if params is not None else env.default_params
         self.auto_reset = auto_reset
         self.final_obs = final_obs
+        # obs_impl: 'auto' routes stock observations through the fused
+        # batched kernel on TPU (Env.observation_batch); 'vmap' forces the
+        # per-env path.  GSPMD callers (ShardedVectorEnv, PPO-with-mesh)
+        # pass 'vmap': XLA cannot partition an opaque Mosaic kernel over a
+        # with_sharding_constraint batch — multi-chip deployments get the
+        # kernel via the per-host local batches of parallel/multihost.py.
+        assert obs_impl in ("auto", "vmap")
+        self.obs_impl = obs_impl
         # Reset strategies:
         #   'fused'       regenerate every env every step and select — fastest
         #                 when generation is about as cheap as the step (a
@@ -185,11 +194,18 @@ class VectorEnv:
                 return jax.vmap(att)(keys)
             return jax.lax.map(att, keys, batch_size=gen_chunk)
 
+        obs_vmap = obs_impl == "vmap"
+
+        def _obs(states):
+            if obs_vmap:
+                return jax.vmap(lambda s: env.observation(s, params_))(states)
+            return env.observation_batch(states, params_)
+
         def _reset(key: jnp.ndarray):
             if not pooled:
                 keys = jax.random.split(key, num_envs)
                 envs = _gen_many(keys)
-                obs = env.observation_batch(envs, params_)
+                obs = _obs(envs)
                 return obs, envs
             key, k_gen, k_refill = jax.random.split(key, 3)
             # one generator call site covers envs AND the initial pool fill
@@ -200,7 +216,7 @@ class VectorEnv:
             )
             envs = jax.tree_util.tree_map(lambda x: x[:num_envs], both)
             pool = jax.tree_util.tree_map(lambda x: x[num_envs:], both)
-            obs = env.observation_batch(envs, params_)
+            obs = _obs(envs)
             return obs, PooledState(
                 envs=envs,
                 pool=pool,
@@ -216,9 +232,9 @@ class VectorEnv:
 
         def _finish(next_state, new_state, reward, terminated, truncated):
             info: dict = {}
-            new_obs = env.observation_batch(new_state, params_)
+            new_obs = _obs(new_state)
             if final_obs:
-                info["final_obs"] = env.observation_batch(next_state, params_)
+                info["final_obs"] = _obs(next_state)
             return new_obs, reward, terminated, truncated, info
 
         def _step(state, action: jnp.ndarray):
@@ -227,7 +243,7 @@ class VectorEnv:
                 lambda s, a: env.step_state(s, a, params_)
             )(envs, action)
             if not auto_reset:
-                obs = env.observation_batch(next_state, params_)
+                obs = _obs(next_state)
                 return obs, next_state, reward, terminated, truncated, {}
             done = terminated | truncated
 

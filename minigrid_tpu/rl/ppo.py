@@ -254,6 +254,9 @@ class PPO:
             self.config.num_envs,
             self.env_params,
             final_obs=self.config.bootstrap_truncated,
+            # GSPMD cannot partition an opaque Mosaic kernel over the dp
+            # sharding; single-device training keeps the fused obs path.
+            obs_impl="vmap" if mesh is not None else "auto",
         )
 
         if mesh is not None:

@@ -44,7 +44,9 @@ def measure(env_id: str, n_devices: int, envs_per_device: int,
     mesh = env_mesh(devices)
     env = minigrid_tpu.make(env_id)
     num_envs = n_devices * envs_per_device
-    venv = VectorEnv(env, num_envs, env.default_params)
+    # obs_impl='vmap': the batch is GSPMD-sharded over the mesh, which
+    # cannot partition an opaque Mosaic kernel.
+    venv = VectorEnv(env, num_envs, env.default_params, obs_impl="vmap")
 
     @jax.jit
     def run(key):
