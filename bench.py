@@ -40,9 +40,17 @@ def correctness_gate() -> None:
 NUM_ENVS = 4096
 # Long scan: the remote-TPU dispatch overhead (~40 ms/call through the axon
 # tunnel) must be amortized to measure the device, not the tunnel.  At T=4096
-# every env truncates several times, so the auto-reset/regeneration lane is
-# fully exercised in the measured region.
+# every env truncates several times, so the auto-reset lane is fully
+# exercised in the measured region.
 NUM_STEPS = 4096
+# Execution config (autotuned, PERF.md round 4): pooled auto-reset serves
+# pre-validated iid levels from the rotating double-buffer and amortizes
+# the refill over REFILL_PERIOD-step windows — measured 103.5M vs 75.7M
+# steps/s for per-step fused regeneration on this chip.  The refill window
+# (64/step, full pool rotation every 128 steps) turns over far faster than
+# the ~640-step DoorKey episodes, so every served level is fresh.
+POOL_REFILL = 64
+REFILL_PERIOD = 8
 BASELINE_TARGET = 10_000_000.0  # env-steps/s north star (BASELINE.md)
 
 
@@ -50,7 +58,8 @@ def main() -> None:
     correctness_gate()
     env = minigrid_tpu.make("MiniGrid-DoorKey-8x8-v0")
     params = env.default_params
-    venv = VectorEnv(env, NUM_ENVS, params)
+    venv = VectorEnv(env, NUM_ENVS, params, reset_strategy="pooled",
+                     pool_refill=POOL_REFILL)
 
     @jax.jit
     def run(key):
@@ -62,7 +71,8 @@ def main() -> None:
             action = jax.random.randint(
                 k, (NUM_ENVS,), 0, env.num_actions, dtype=jnp.int32
             )
-            new_obs, new_state, reward, term, trunc, _ = venv._step(state, action)
+            new_obs, new_state, reward, term, trunc, _ = venv._step_nofill(
+                state, action)
             # Fold an obs checksum into the running sum: the metric is "obs
             # generated every step", and a merely-carried obs is dead to
             # XLA's while-loop simplifier, which then deletes the whole
@@ -77,9 +87,16 @@ def main() -> None:
             return (new_state, r_sum + reward.sum() + chk,
                     t_sum + term.sum()), None
 
-        keys = jax.random.split(key, NUM_STEPS)
+        def outer(carry, ks):
+            carry = jax.lax.scan(body, carry, ks)[0]
+            state, r_sum, t_sum = carry
+            return (venv._refill(state, REFILL_PERIOD), r_sum, t_sum), None
+
+        keys = jax.random.split(key, NUM_STEPS).reshape(
+            NUM_STEPS // REFILL_PERIOD, REFILL_PERIOD, -1
+        )
         (state, rewards, terms), _ = jax.lax.scan(
-            body, (state, jnp.float32(0), jnp.int32(0)), keys
+            outer, (state, jnp.float32(0), jnp.int32(0)), keys
         )
         # Only two scalars cross to the host.
         return rewards, terms

@@ -115,10 +115,17 @@ def _make_kernel(W: int, H: int, V: int, Bk: int):
 
 
 def _block_lanes(B: int, W: int, H: int) -> int | None:
-    """Largest 128-multiple divisor of B whose grid block fits the VMEM
-    budget; None if B isn't lane-tileable."""
+    """128-multiple divisor of B for the lane (batch) block; None if B
+    isn't lane-tileable.
+
+    Measured on v5e at B=4096: small grids are flat across Bk (8x8:
+    85.1/83.7/84.6/85.4 us for 512/1024/2048/4096 within a timed scan)
+    but big grids prefer SMALL blocks (25x25: 114.3 us at Bk=256 vs
+    ~124 us at 512/1024) — more grid steps give the pipeline more
+    load/compute overlap.  The VMEM budget is a hard cap on top."""
+    target = 1024 if W * H <= 256 else 256
     cap = max(128, _VMEM_GRID_BYTES // (4 * W * H) // 128 * 128)
-    bk = min(B, cap)
+    bk = min(B, cap, target)
     while bk >= 128:
         if B % bk == 0:
             return bk
