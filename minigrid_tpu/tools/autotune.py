@@ -53,16 +53,20 @@ def candidates(num_envs: int, expensive: bool) -> list[Candidate]:
     out = [] if expensive else [Candidate("fused"), Candidate("fused", unroll=4)]
     out.append(Candidate("conditional"))
     seen = set()
-    for frac in (8, 16, 32):
+    # Round 4: since the Pallas obs kernel, pooled + bulk refill wins even
+    # for cheap generators, and generation-dominated families (BossLevel)
+    # keep gaining through period 16 (1.2M -> 8.3M, PERF.md) — sweep
+    # smaller windows and longer periods than the r3 grid did.
+    for frac in (8, 16, 32, 64, 256):
         c = max(1, num_envs // frac)
         while (2 * num_envs) % c:
             c -= 1
-        for period in (1, 8):
+        for period in (1, 8, 16):
             if ((2 * num_envs) % min(period * c, 2 * num_envs) == 0
                     and (c, period) not in seen):
                 seen.add((c, period))
                 out.append(Candidate("pooled", c, period))
-                if period > 1:
+                if period == 8:
                     out.append(Candidate("pooled", c, period, unroll=4))
     return out
 
