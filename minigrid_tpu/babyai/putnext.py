@@ -91,14 +91,15 @@ class PutNext(BabyAILevel):
         pos = b["carry_pos"]
         grid = G.put(state.grid, pos[0], pos[1], C.EMPTY_TRIPLE)
         vs = state.extra["vs"]
-        # one-hot writes (a one-cell scatter costs its own kernel)
-        n, w, h = vs.tracked1.shape
+        # one-hot bit clear on the packed planes (a one-cell scatter costs
+        # its own kernel)
+        n, w = vs.tracked1.shape
         slot0 = jnp.arange(n) == 0
-        cell = ((jax.lax.broadcasted_iota(jnp.int32, (w, h), 0) == pos[0])
-                & (jax.lax.broadcasted_iota(jnp.int32, (w, h), 1) == pos[1]))
+        cell = V._front_packed(w, pos[0], pos[1])  # uint32[w]
         vs = vs.replace(
             carry1=vs.carry1 | slot0,
-            tracked1=vs.tracked1 & ~(slot0[:, None, None] & cell),
+            tracked1=vs.tracked1 & ~jnp.where(slot0[:, None], cell[None],
+                                              jnp.uint32(0)),
         )
         return state.replace(grid=grid, carrying=b["carry_triple"],
                              extra={**state.extra, "vs": vs})

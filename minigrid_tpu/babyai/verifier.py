@@ -80,12 +80,22 @@ class InstrCode:
 
 @struct.dataclass
 class VerifierState:
-    """Runtime tracking state (per env)."""
+    """Runtime tracking state (per env).
 
-    tracked1: jnp.ndarray  # bool[K, W, H] — true current positions, desc1
-    tracked2: jnp.ndarray  # bool[K, W, H] — desc2 (PutNext fixed)
-    stale1: jnp.ndarray  # bool[K, W, H] — verify-visible positions (obj_poss)
-    stale2: jnp.ndarray  # bool[K, W, H]
+    The four position-set planes are BIT-PACKED: column y of plane cell
+    (x, y) lives in bit y of word [k, x] (uint32[K, W], grid height ≤ 32) —
+    the same packing as the occlusion sweep (core/obs.py::process_vis).
+    Unpacked bool[K, W, H] planes were the single largest HBM term of the
+    BabyAI step at scale: on BossLevel (K=4, 25×25 grid, batch 4096) the
+    pooled consume + tracking update moved ~270 MB/step of bool planes,
+    capping the consume-only step at 11.25M steps/s on TPU v5e; packed
+    they are ~8× smaller and every per-step plane op (front-cell test,
+    pickup/drop move, 4-adjacency test) is one-word bit arithmetic."""
+
+    tracked1: jnp.ndarray  # uint32[K, W] — true current positions, desc1
+    tracked2: jnp.ndarray  # uint32[K, W] — desc2 (PutNext fixed)
+    stale1: jnp.ndarray  # uint32[K, W] — verify-visible positions (obj_poss)
+    stale2: jnp.ndarray  # uint32[K, W]
     carry1: jnp.ndarray  # bool[K] — hand holds a tracked desc1 object
     pre_empty: jnp.ndarray  # bool[K] — hands empty at the clause's last eval
     pre_carry1: jnp.ndarray  # bool[K] — tracked desc1 obj in hand at last eval
@@ -96,6 +106,27 @@ class VerifierState:
     # Packed operand statuses: status + 4*c0_success + 8*c1_success.
     a_packed: jnp.ndarray  # int32
     b_packed: jnp.ndarray  # int32
+
+
+def pack_planes(m: jnp.ndarray) -> jnp.ndarray:
+    """bool[..., W, H] -> uint32[..., W]: bit y of word [..., x] = cell (x, y)."""
+    h = m.shape[-1]
+    assert h <= 32, "packed verifier planes require grid height <= 32"
+    weights = jnp.uint32(1) << jnp.arange(h, dtype=jnp.uint32)
+    return jnp.sum(
+        jnp.where(m, weights, jnp.uint32(0)), axis=-1, dtype=jnp.uint32)
+
+
+def unpack_planes(p: jnp.ndarray, h: int) -> jnp.ndarray:
+    """uint32[..., W] -> bool[..., W, H] (inverse of pack_planes)."""
+    return (p[..., None] >> jnp.arange(h, dtype=jnp.uint32)) & 1 > 0
+
+
+def _front_packed(w: int, fx: jnp.ndarray, fy: jnp.ndarray) -> jnp.ndarray:
+    """uint32[W] one-hot plane of cell (fx, fy) in the packed layout."""
+    return jnp.where(
+        jnp.arange(w, dtype=jnp.int32) == fx,
+        jnp.uint32(1) << fy.astype(jnp.uint32), jnp.uint32(0))
 
 
 def desc(type_id, color_id=0, loc=0) -> jnp.ndarray:
@@ -279,6 +310,8 @@ def init_verifier_state(
                                           agent_dir, room_mask))
         tracked1 = jnp.stack(masks1)
         tracked2 = jnp.stack(masks2)
+    tracked1 = pack_planes(tracked1)
+    tracked2 = pack_planes(tracked2)
     return VerifierState(
         tracked1=tracked1,
         tracked2=tracked2,
@@ -294,26 +327,25 @@ def init_verifier_state(
 
 
 def _update_tracking(
-    vs: VerifierState, outcome: StepOutcome, action: jnp.ndarray
+    vs: VerifierState, outcome: StepOutcome, action: jnp.ndarray, h: int
 ) -> VerifierState:
     """Follow pickup/drop object movement; refresh verify-visible masks on
     drop actions (roomgrid_level.py:89-91)."""
-    w, h = vs.tracked1.shape[1:]
+    w = vs.tracked1.shape[1]
     fx = jnp.clip(outcome.fwd_pos[0], 0, w - 1)
     fy = jnp.clip(outcome.fwd_pos[1], 0, h - 1)
 
-    # One-cell update across the K tracked planes as a masked select (not a
-    # scatter — see core/grid_ops.put for why).
-    xs = jax.lax.broadcasted_iota(jnp.int32, (w, h), 0)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (w, h), 1)
-    front = (xs == fx) & (ys == fy)  # bool[w, h]
+    # One-cell update across the K tracked planes as one-word bit math on
+    # the packed layout (not a scatter — see core/grid_ops.put for why).
+    front = _front_packed(w, fx, fy)  # uint32[w]
 
     def upd(tracked, carry):
-        was = jnp.any(tracked & front[None], axis=(1, 2))
+        was = jnp.any((tracked & front[None]) != 0, axis=1)
         new_carry = jnp.where(outcome.picked_up, was, carry)
         cell = jnp.where(outcome.picked_up, False, was)
         cell = jnp.where(outcome.dropped & new_carry, True, cell)
-        tracked = jnp.where(front[None], cell[:, None, None], tracked)
+        tracked = jnp.where(cell[:, None], tracked | front[None],
+                            tracked & ~front[None])
         new_carry = jnp.where(outcome.dropped, False, new_carry)
         return tracked, new_carry
 
@@ -339,10 +371,11 @@ def _eval_clauses(
 ) -> jnp.ndarray:
     """Raw verify_action results (int32[4]) for every clause this step.
 
-    All per-cell reads are broadcast-compare masked reduces over the tracked
-    planes, evaluated for the 4 clauses at once — vmapped one-cell gathers
-    lower to serialized kCustom kernels (~40-80us each at batch 4096 on TPU
-    v5e) and there would be ~25 of them per step here."""
+    All per-cell reads are bit tests against the packed tracked planes,
+    evaluated for the 4 clauses at once — vmapped one-cell gathers lower to
+    serialized kCustom kernels (~40-80us each at batch 4096 on TPU v5e) and
+    there would be ~25 of them per step here; unpacked bool-plane reduces
+    were 8× the bytes."""
     w, h = grid.shape[:2]
     fdx, fdy = dir_to_vec(agent_dir)
     fwd = agent_pos + jnp.stack([fdx, fdy])
@@ -362,13 +395,20 @@ def _eval_clauses(
     # drop position for PutNext = the cell written by the drop
     dx = jnp.clip(outcome.fwd_pos[0], 0, w - 1)
     dy = jnp.clip(outcome.fwd_pos[1], 0, h - 1)
-    # 4-neighborhood of the drop cell; |Δ|=1 is in-bounds by construction
-    adj = (jnp.abs(xs - dx) + jnp.abs(ys - dy)) == 1
+    # 4-neighborhood of the drop cell on the packed layout: same-column
+    # neighbors are bit shifts of the drop bit (a shift past bit 0 or past
+    # bit h-1 falls off / lands on a never-set bit — |Δ|=1 is in-bounds by
+    # construction anyway); adjacent columns test the drop bit itself.
+    xs_w = jnp.arange(w, dtype=jnp.int32)
+    dbit = jnp.uint32(1) << dy.astype(jnp.uint32)
+    adj_p = (jnp.where(xs_w == dx, (dbit << 1) | (dbit >> 1), jnp.uint32(0))
+             | jnp.where(jnp.abs(xs_w - dx) == 1, dbit, jnp.uint32(0)))
 
-    # per-clause [4] plane reads, one reduce each
-    stale1_at_front = jnp.any(vs.stale1 & front[None], axis=(1, 2))
-    tracked1_at_front = jnp.any(vs.tracked1 & front[None], axis=(1, 2))
-    stale2_adj = jnp.any(vs.stale2 & adj[None], axis=(1, 2))
+    # per-clause [4] packed-plane reads, one word-reduce each
+    front_p = _front_packed(w, fx, fy)
+    stale1_at_front = jnp.any((vs.stale1 & front_p[None]) != 0, axis=1)
+    tracked1_at_front = jnp.any((vs.tracked1 & front_p[None]) != 0, axis=1)
+    stale2_adj = jnp.any((vs.stale2 & adj_p[None]) != 0, axis=1)
 
     kind = instr.kinds  # int32[K]
     strict = instr.strict  # bool[K]
@@ -430,7 +470,7 @@ def verify_step(
     a ``done`` without a match fails, and non-done actions never terminate
     (their raw result is recorded in ``last_match`` and discarded)."""
     action = jnp.asarray(action, jnp.int32)
-    vs = _update_tracking(vs, outcome, action)
+    vs = _update_tracking(vs, outcome, action, grid.shape[1])
     raw = _eval_clauses(vs, instr, grid, agent_pos, agent_dir, action, outcome)
     if done_actions:
         raw_match = raw == SUCCESS

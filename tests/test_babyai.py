@@ -330,3 +330,22 @@ def test_babyai_done_actions_mode_parity():
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "DONE-ACTIONS-OK" in proc.stdout
+
+
+def test_packed_plane_roundtrip():
+    """VerifierState planes are bit-packed uint32[K, W] (bit y of word
+    [k, x] = cell (x, y)); pack/unpack must be exact inverses on a
+    non-square plane, and the packer must be the same layout
+    init_verifier_state stores (a GoTo instr's tracked1 plane equals the
+    packed desc-match mask)."""
+    import numpy as np
+
+    key = jax.random.PRNGKey(7)
+    m = jax.random.bernoulli(key, 0.3, (4, 11, 25))  # W=11, H=25
+    p = V.pack_planes(m)
+    assert p.dtype == jnp.uint32 and p.shape == (4, 11)
+    assert bool(jnp.all(V.unpack_planes(p, 25) == m))
+    # bit y of word x is cell (x, y)
+    mn = np.asarray(m)
+    pn = np.asarray(p)
+    assert ((pn[2, 5] >> 13) & 1) == int(mn[2, 5, 13])
