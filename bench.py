@@ -56,6 +56,18 @@ BASELINE_TARGET = 10_000_000.0  # env-steps/s north star (BASELINE.md)
 
 def main() -> None:
     correctness_gate()
+    # On-device compiled-kernel gate: the CPU smoke validates the kernel
+    # PROGRAM via the interpreter; this validates its Mosaic LOWERING by
+    # running one batch through both obs paths compiled on the chip that is
+    # about to be timed (a lowering bug would otherwise bench wrong obs
+    # with every CPU gate green).
+    from minigrid_tpu.tools.smoke import device_kernel_gate
+
+    if device_kernel_gate(num_envs=NUM_ENVS):
+        print("DEVICE KERNEL GATE OK", file=sys.stderr)
+    else:
+        print("device kernel gate skipped (fused path n/a on this backend)",
+              file=sys.stderr)
     env = minigrid_tpu.make("MiniGrid-DoorKey-8x8-v0")
     params = env.default_params
     venv = VectorEnv(env, NUM_ENVS, params, reset_strategy="pooled",

@@ -95,11 +95,18 @@ class PutNext(BabyAILevel):
         # its own kernel)
         n, w = vs.tracked1.shape
         slot0 = jnp.arange(n) == 0
-        cell = V._front_packed(w, pos[0], pos[1])  # uint32[w]
+        cell = V.onehot_packed(w, pos[0], pos[1])  # uint32[w]
+        cell_mask = jnp.where(slot0[:, None], cell[None], jnp.uint32(0))
+        # obj_a always matches desc_move (slot-0 desc1 plane); it matches
+        # desc_fixed too when its (type, color) happens to satisfy desc2 —
+        # the reference keeps that instance in desc_fixed.obj_set while
+        # carried (verifier.py:104-131), so mirror the carry into carry2.
+        match2 = jnp.any((vs.tracked2 & cell_mask) != 0, axis=1)
         vs = vs.replace(
             carry1=vs.carry1 | slot0,
-            tracked1=vs.tracked1 & ~jnp.where(slot0[:, None], cell[None],
-                                              jnp.uint32(0)),
+            carry2=vs.carry2 | match2,
+            tracked1=vs.tracked1 & ~cell_mask,
+            tracked2=vs.tracked2 & ~cell_mask,
         )
         return state.replace(grid=grid, carrying=b["carry_triple"],
                              extra={**state.extra, "vs": vs})

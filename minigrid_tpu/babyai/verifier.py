@@ -97,6 +97,7 @@ class VerifierState:
     stale1: jnp.ndarray  # uint32[K, W] — verify-visible positions (obj_poss)
     stale2: jnp.ndarray  # uint32[K, W]
     carry1: jnp.ndarray  # bool[K] — hand holds a tracked desc1 object
+    carry2: jnp.ndarray  # bool[K] — hand holds a tracked desc2 object
     pre_empty: jnp.ndarray  # bool[K] — hands empty at the clause's last eval
     pre_carry1: jnp.ndarray  # bool[K] — tracked desc1 obj in hand at last eval
     # bool[K] — clause condition matched on its last evaluation (the
@@ -111,7 +112,13 @@ class VerifierState:
 def pack_planes(m: jnp.ndarray) -> jnp.ndarray:
     """bool[..., W, H] -> uint32[..., W]: bit y of word [..., x] = cell (x, y)."""
     h = m.shape[-1]
-    assert h <= 32, "packed verifier planes require grid height <= 32"
+    # ValueError, not assert: the whole packed layout depends on H fitting a
+    # uint32 word (shifts >= 32 would silently wrap), and `python -O` strips
+    # asserts — an over-tall grid must fail loudly regardless of flags.
+    if h > 32:
+        raise ValueError(
+            f"packed verifier planes require grid height <= 32, got {h}"
+        )
     weights = jnp.uint32(1) << jnp.arange(h, dtype=jnp.uint32)
     return jnp.sum(
         jnp.where(m, weights, jnp.uint32(0)), axis=-1, dtype=jnp.uint32)
@@ -122,11 +129,19 @@ def unpack_planes(p: jnp.ndarray, h: int) -> jnp.ndarray:
     return (p[..., None] >> jnp.arange(h, dtype=jnp.uint32)) & 1 > 0
 
 
-def _front_packed(w: int, fx: jnp.ndarray, fy: jnp.ndarray) -> jnp.ndarray:
-    """uint32[W] one-hot plane of cell (fx, fy) in the packed layout."""
+def onehot_packed(w: int, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """uint32[W] one-hot plane of cell (x, y) in the packed layout.
+
+    Public contract of the packed plane layout: bit y of word x = cell
+    (x, y).  Level generators (e.g. PutNextCarrying's post_generate) build
+    single-cell masks with this to edit tracked planes without a scatter."""
     return jnp.where(
-        jnp.arange(w, dtype=jnp.int32) == fx,
-        jnp.uint32(1) << fy.astype(jnp.uint32), jnp.uint32(0))
+        jnp.arange(w, dtype=jnp.int32) == x,
+        jnp.uint32(1) << y.astype(jnp.uint32), jnp.uint32(0))
+
+
+# retained alias for the internal call sites below
+_front_packed = onehot_packed
 
 
 def desc(type_id, color_id=0, loc=0) -> jnp.ndarray:
@@ -318,6 +333,7 @@ def init_verifier_state(
         stale1=tracked1,
         stale2=tracked2,
         carry1=jnp.zeros((n_clauses,), bool),
+        carry2=jnp.zeros((n_clauses,), bool),
         pre_empty=jnp.ones((n_clauses,), bool),  # preCarrying = None at reset
         pre_carry1=jnp.zeros((n_clauses,), bool),
         last_match=jnp.zeros((n_clauses,), bool),
@@ -350,14 +366,19 @@ def _update_tracking(
         return tracked, new_carry
 
     tracked1, carry1 = upd(vs.tracked1, vs.carry1)
-    # fixed-desc objects can also be carried around; track positions only
-    tracked2, _ = upd(vs.tracked2, vs.carry1 * False)
+    # Fixed-desc (desc2) objects can also be picked up and relocated; the
+    # reference re-finds obj_set members on the grid after every drop
+    # (verifier.py:205-212, find_matching_objs use_location=False), so the
+    # dropped object's NEW position must re-enter tracked2 — a carry flag
+    # per clause restores the bit at the drop cell, same as tracked1.
+    tracked2, carry2 = upd(vs.tracked2, vs.carry2)
 
     refresh = action == DROP
     stale1 = jnp.where(refresh, tracked1, vs.stale1)
     stale2 = jnp.where(refresh, tracked2, vs.stale2)
     return vs.replace(tracked1=tracked1, tracked2=tracked2,
-                      stale1=stale1, stale2=stale2, carry1=carry1)
+                      stale1=stale1, stale2=stale2, carry1=carry1,
+                      carry2=carry2)
 
 
 def _eval_clauses(

@@ -125,6 +125,23 @@ class Env:
             return gen_obs_batch(states, params)
         return jax.vmap(lambda s: self.observation(s, params))(states)
 
+    def observation_batch_sharded(
+        self, states: EnvState, params: EnvParams, mesh, axis_name: str = "env"
+    ) -> dict:
+        """Batched observation with the env batch sharded over ``mesh``.
+
+        Stock-observation families route through
+        :func:`minigrid_tpu.core.obs.gen_obs_batch_sharded` (``jax.shard_map``
+        around the fused Pallas gather — the explicit partitioning GSPMD
+        cannot infer for an opaque Mosaic call, so every chip runs the fast
+        obs program on its local shard).  Observation-overriding families
+        keep the vmapped pipeline, which GSPMD partitions natively."""
+        if type(self).observation is Env.observation:
+            from minigrid_tpu.core.obs import gen_obs_batch_sharded
+
+            return gen_obs_batch_sharded(states, params, mesh, axis_name)
+        return self.observation_batch(states, params)
+
     # -- reward helper (minigrid_env.py:239-244) -------------------------------
     def task_reward(self, state: EnvState, params: EnvParams) -> jnp.ndarray:
         max_steps = jnp.where(

@@ -58,6 +58,12 @@ OBS_IMPL = os.environ.get("MINIGRID_TPU_OBS_BATCH", "auto")
 # CI parity suite exercise the exact kernel program without a TPU.
 INTERPRET = os.environ.get("MINIGRID_TPU_PALLAS_INTERPRET", "0") == "1"
 
+# Deliberately corrupt the kernel output (flip the type-field LSB of every
+# cell).  Exists ONLY to prove the device kernel gate
+# (tools/smoke.py::device_kernel_gate) actually refuses to bench a broken
+# kernel — exercised by tests/test_tools.py.  Never set in production.
+_SABOTAGE = os.environ.get("MINIGRID_TPU_OBS_SABOTAGE", "0") == "1"
+
 # VMEM budget for the grid block: Bk lanes * W*H rows * 4 B, double-buffered
 # by the pipeline.  4 MB leaves ample room in 16 MB VMEM.
 _VMEM_GRID_BYTES = 4 * 1024 * 1024
@@ -186,6 +192,8 @@ def gather_view_pallas_packed(
         out_shape=jax.ShapeDtypeStruct((V * V, B), jnp.uint32),
         interpret=INTERPRET,
     )(sc, gp)
+    if _SABOTAGE:  # gate-verification hook; see the flag's comment above
+        out = out ^ jnp.uint32(1)
     rect = out.T.reshape(B, V, V)  # unrotated, packed
     # rotate_left^(dir+1): four static transforms + one select
     # (grid.py:110-122; d == 3 is the identity).

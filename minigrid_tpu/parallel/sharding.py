@@ -82,10 +82,13 @@ class ShardedVectorEnv:
         )
         self.num_envs = num_envs
         self.params = params if params is not None else env.default_params
-        # obs_impl='vmap': GSPMD cannot partition an opaque Mosaic kernel —
-        # the fused obs path applies to local (per-host) batches only.
+        # mesh=...: the observation routes through jax.shard_map over the
+        # batch axis (GSPMD cannot partition an opaque Mosaic kernel, but
+        # shard_map hands each device its local B/n shard explicitly), so
+        # every chip runs the fused Pallas obs program.
         self._inner = VectorEnv(env, num_envs, self.params,
-                                auto_reset=auto_reset, obs_impl="vmap")
+                                auto_reset=auto_reset,
+                                mesh=self.mesh, mesh_axis=axis_name)
         shard = batch_sharding(self.mesh, axis_name)
 
         def _shard_tree(tree: Any) -> Any:
@@ -136,7 +139,8 @@ def sharded_rollout(
 
     mesh = mesh if mesh is not None else env_mesh(axis_name=axis_name)
     shard = batch_sharding(mesh, axis_name)
-    venv = VectorEnv(env, num_envs, params, obs_impl="vmap")
+    # shard_map obs: every device runs the fused Pallas kernel on its shard
+    venv = VectorEnv(env, num_envs, params, mesh=mesh, mesh_axis=axis_name)
 
     @jax.jit
     def run(key):

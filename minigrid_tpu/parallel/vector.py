@@ -57,6 +57,14 @@ class PooledState:
     fresh: jnp.ndarray  # bool[2B] — slot holds an unconsumed level
     tick: jnp.ndarray  # int32 — refill window rotation counter
     key: jnp.ndarray  # refill PRNG stream
+    # Served-distribution accounting (on-device, folded into the consume):
+    # how many auto-resets were served a FRESH (never-used) level vs a STALE
+    # replay of the slot's previous valid level (best-effort mode's both-
+    # slots-spent fallback).  fresh/(fresh+stale) is the freshness fraction
+    # every battery row reports — a throughput number earned by replaying
+    # levels is a different metric from one earned on fresh iid draws.
+    n_fresh: jnp.ndarray  # int32[]
+    n_stale: jnp.ndarray  # int32[]
 
 
 class VectorEnv:
@@ -78,7 +86,8 @@ class VectorEnv:
                  reset_strategy: str | None = None,
                  pool_refill: int | None = None,
                  strict_refill: bool = False,
-                 obs_impl: str = "auto"):
+                 obs_impl: str = "auto",
+                 mesh=None, mesh_axis: str = "env"):
         self.env = env
         self.num_envs = num_envs
         self.params = params if params is not None else env.default_params
@@ -87,11 +96,20 @@ class VectorEnv:
         # obs_impl: 'auto' routes stock observations through the fused
         # batched kernel on TPU (Env.observation_batch); 'vmap' forces the
         # per-env path.  GSPMD callers (ShardedVectorEnv, PPO-with-mesh)
-        # pass 'vmap': XLA cannot partition an opaque Mosaic kernel over a
-        # with_sharding_constraint batch — multi-chip deployments get the
-        # kernel via the per-host local batches of parallel/multihost.py.
+        # pass `mesh` (+ `mesh_axis`) instead: XLA cannot partition an
+        # opaque Mosaic kernel over a with_sharding_constraint batch, so the
+        # observation routes through jax.shard_map over the batch axis
+        # (Env.observation_batch_sharded) — each device runs the fused
+        # kernel on its local B/n shard.
         assert obs_impl in ("auto", "vmap")
         self.obs_impl = obs_impl
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        if mesh is not None:
+            assert num_envs % mesh.shape[mesh_axis] == 0, (
+                f"num_envs={num_envs} must divide over mesh axis "
+                f"{mesh_axis}={mesh.shape[mesh_axis]}"
+            )
         # Reset strategies:
         #   'fused'       regenerate every env every step and select — fastest
         #                 when generation is about as cheap as the step (a
@@ -199,6 +217,9 @@ class VectorEnv:
         def _obs(states):
             if obs_vmap:
                 return jax.vmap(lambda s: env.observation(s, params_))(states)
+            if mesh is not None:
+                return env.observation_batch_sharded(
+                    states, params_, mesh, mesh_axis)
             return env.observation_batch(states, params_)
 
         def _reset(key: jnp.ndarray):
@@ -223,6 +244,8 @@ class VectorEnv:
                 fresh=jnp.ones((self.pool_size,), bool),
                 tick=jnp.asarray(0, jnp.int32),
                 key=k_refill,
+                n_fresh=jnp.asarray(0, jnp.int32),
+                n_stale=jnp.asarray(0, jnp.int32),
             )
 
         def _regen_masked(ns, mask):
@@ -262,12 +285,14 @@ class VectorEnv:
                 return obs, new_state, reward, terminated, truncated, info
 
             # ---- pooled auto-reset (gather/scatter-free) --------------------
-            new_envs, flags = _consume(state.pool, state.fresh, next_state,
-                                       done)
+            new_envs, flags, d_fresh, d_stale = _consume(
+                state.pool, state.fresh, next_state, done)
             pool, fresh, tick, key = _refill_windows(
                 state.pool, flags, state.tick, state.key, 1)
             new_state = PooledState(envs=new_envs, pool=pool, fresh=fresh,
-                                    tick=tick, key=key)
+                                    tick=tick, key=key,
+                                    n_fresh=state.n_fresh + d_fresh,
+                                    n_stale=state.n_stale + d_stale)
             obs, reward, terminated, truncated, info = _finish(
                 next_state, new_envs, reward, terminated, truncated)
             return obs, new_state, reward, terminated, truncated, info
@@ -276,7 +301,8 @@ class VectorEnv:
             """Pooled consume: done envs take a level from their slot pair.
 
             Env b prefers its primary slot b, else secondary b+B.  Returns
-            (new_envs, updated freshness flags)."""
+            (new_envs, updated freshness flags, n fresh consumes this step,
+            n stale-replay consumes this step)."""
             B = num_envs
             lo = jax.tree_util.tree_map(lambda p: p[:B], pool)
             hi = jax.tree_util.tree_map(lambda p: p[B:], pool)
@@ -284,6 +310,7 @@ class VectorEnv:
             use_lo = done & f_lo
             use_hi = done & ~f_lo & f_hi
             flags_next = jnp.concatenate([f_lo & ~use_lo, f_hi & ~use_hi])
+            d_fresh = jnp.sum(use_lo | use_hi, dtype=jnp.int32)
             if self.best_effort:
                 # Stale replay: both slots unfresh -> take the primary
                 # slot's previous valid level.  Every slot always holds a
@@ -291,8 +318,10 @@ class VectorEnv:
                 # fallback exists in the program at all — no per-step
                 # lax.cond (a scalar cond stalls the pipeline even when
                 # untaken) and no B-wide generation branch to compile.
+                d_stale = jnp.sum(done & ~(use_lo | use_hi), dtype=jnp.int32)
                 fresh_states = tree_select(use_hi, hi, lo)
-                return tree_select(done, fresh_states, next_state), flags_next
+                return (tree_select(done, fresh_states, next_state),
+                        flags_next, d_fresh, d_stale)
 
             covered = use_lo | use_hi
             fresh_states = tree_select(use_lo, lo, hi)
@@ -312,7 +341,10 @@ class VectorEnv:
                 lambda ns: ns,
                 new_envs,
             )
-            return new_envs, flags_next
+            # strict mode regenerates misses, so every served level is fresh
+            return (new_envs, flags_next,
+                    d_fresh + jnp.sum(uncovered, dtype=jnp.int32),
+                    jnp.asarray(0, jnp.int32))
 
         def _refill_windows(pool, flags, tick, key, windows: int):
             """Write `windows` contiguous refill windows (windows*C levels)
@@ -381,9 +413,11 @@ class VectorEnv:
                 lambda s, a: env.step_state(s, a, params_)
             )(envs, action)
             done = terminated | truncated
-            new_envs, flags = _consume(state.pool, state.fresh, next_state,
-                                       done)
-            new_state = state.replace(envs=new_envs, fresh=flags)
+            new_envs, flags, d_fresh, d_stale = _consume(
+                state.pool, state.fresh, next_state, done)
+            new_state = state.replace(envs=new_envs, fresh=flags,
+                                      n_fresh=state.n_fresh + d_fresh,
+                                      n_stale=state.n_stale + d_stale)
             obs, reward, terminated, truncated, info = _finish(
                 next_state, new_envs, reward, terminated, truncated)
             return obs, new_state, reward, terminated, truncated, info

@@ -254,9 +254,12 @@ class PPO:
             self.config.num_envs,
             self.env_params,
             final_obs=self.config.bootstrap_truncated,
-            # GSPMD cannot partition an opaque Mosaic kernel over the dp
-            # sharding; single-device training keeps the fused obs path.
-            obs_impl="vmap" if mesh is not None else "auto",
+            # With a mesh the obs routes through jax.shard_map over 'dp'
+            # (Env.observation_batch_sharded): GSPMD cannot partition an
+            # opaque Mosaic kernel, but shard_map hands each device its
+            # local batch shard, so every chip runs the fused obs program.
+            mesh=mesh,
+            mesh_axis="dp",
         )
 
         if mesh is not None:

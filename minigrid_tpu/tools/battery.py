@@ -48,8 +48,8 @@ def run_spec(spec: str) -> dict:
     env = minigrid_tpu.make(env_id)
     venv = VectorEnv(env, num_envs, reset_strategy=strategy,
                      pool_refill=refill, strict_refill=strict)
-    sps, compile_s = timed_rollout(venv, steps, refill_period=period,
-                                   unroll=unroll)
+    sps, compile_s, stats = timed_rollout(venv, steps, refill_period=period,
+                                          unroll=unroll, with_stats=True)
     from minigrid_tpu.core.obs import GATHER_IMPL
 
     row = {
@@ -59,6 +59,11 @@ def run_spec(spec: str) -> dict:
         "unroll": unroll, "pool_refill": venv.pool_refill
         if venv.reset_strategy == "pooled" else None, "strict": strict,
         "steps_per_sec": round(sps), "compile_s": round(compile_s, 1),
+        # served-distribution accounting (timed run): fraction of auto
+        # resets served a FRESH level vs a best-effort stale replay
+        "resets": stats["resets"],
+        "fresh_frac": (round(stats["fresh_frac"], 4)
+                       if stats["fresh_frac"] is not None else None),
     }
     print(json.dumps(row), flush=True)
     return row
@@ -68,6 +73,12 @@ def main(argv: list[str]) -> None:
     if not argv:
         print(__doc__, file=sys.stderr)
         raise SystemExit(2)
+    # Refuse to record rows for a mis-lowered kernel: one batch through both
+    # obs paths compiled on THIS backend (see smoke.device_kernel_gate).
+    from minigrid_tpu.tools.smoke import device_kernel_gate
+
+    if device_kernel_gate():
+        print("device kernel gate ok", file=sys.stderr)
     for spec in argv:
         run_spec(spec)
 

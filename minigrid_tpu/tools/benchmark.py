@@ -27,19 +27,27 @@ import jax.numpy as jnp
 
 
 def timed_rollout(venv, num_steps: int, refill_period: int = 1,
-                  seed: int = 0, unroll: int = 1) -> tuple[float, float]:
+                  seed: int = 0, unroll: int = 1,
+                  with_stats: bool = False):
     """(env-steps/s, compile+first-call seconds): one jitted lax.scan
     rollout with random actions (PERF.md timing protocol — long scan to
     amortize the ~40 ms tunnel dispatch, synced by host fetch).
     ``refill_period=K`` uses the pooled bulk-refill scan-of-scans;
     ``unroll=U`` unrolls U step bodies per scan iteration so XLA can fuse
-    across steps (the program is launch-bound, PERF.md)."""
+    across steps (the program is launch-bound, PERF.md).
+
+    ``with_stats=True`` returns a third element, a dict with the pooled
+    strategy's served-level accounting from the TIMED run: ``resets`` (auto
+    resets served), ``fresh_frac`` (fraction served a never-used level vs a
+    best-effort stale replay; 1.0 for strict/fused/conditional where every
+    served level is fresh by construction, None when no reset occurred)."""
     env, num_envs = venv.env, venv.num_envs
     K = refill_period
     assert num_steps % K == 0, (num_steps, K)
     if K > 1:
         assert venv.reset_strategy == "pooled", (
             "refill_period requires the pooled reset strategy")
+    pooled = venv.reset_strategy == "pooled" and venv.auto_reset
 
     @jax.jit
     def run(key):
@@ -74,15 +82,28 @@ def timed_rollout(venv, num_steps: int, refill_period: int = 1,
             st, rs = jax.lax.scan(body(venv._step), st,
                                   jax.random.split(key, num_steps),
                                   unroll=unroll)
-        return rs.sum()
+        if pooled:
+            return rs.sum(), st.n_fresh, st.n_stale
+        return rs.sum(), jnp.int32(0), jnp.int32(0)
 
     t0 = time.perf_counter()
     _sync(run(jax.random.PRNGKey(seed)))
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    _sync(run(jax.random.PRNGKey(seed + 1)))
+    out = run(jax.random.PRNGKey(seed + 1))
+    _sync(out)
     dt = time.perf_counter() - t0
-    return num_envs * num_steps / dt, compile_s
+    sps = num_envs * num_steps / dt
+    if not with_stats:
+        return sps, compile_s
+    n_fresh, n_stale = int(out[1]), int(out[2])
+    resets = n_fresh + n_stale
+    if pooled:
+        fresh_frac = (n_fresh / resets) if resets else None
+    else:
+        # non-pooled strategies regenerate on every reset — always fresh
+        fresh_frac = 1.0
+    return sps, compile_s, {"resets": resets, "fresh_frac": fresh_frac}
 
 
 def benchmark(env_id: str = "MiniGrid-LavaGapS7-v0", num_resets: int = 200,

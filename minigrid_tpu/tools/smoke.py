@@ -156,6 +156,62 @@ def _lockstep_vs_reference() -> bool:
     return True
 
 
+def device_kernel_gate(
+    env_id: str = "MiniGrid-DoorKey-8x8-v0", num_envs: int = 4096
+) -> bool:
+    """Compiled Mosaic kernel vs vmap pipeline ON THE EXECUTING BACKEND.
+
+    The interpreter checks above validate the kernel PROGRAM, not its
+    Mosaic LOWERING: a layout/roll/dtype bug in the compiled kernel would
+    produce wrong obs on hardware with every CPU gate green — exactly the
+    benching-a-wrong-program failure mode the smoke gate exists to prevent.
+    This runs one full batch through BOTH the fused Pallas path and the
+    vmapped per-env pipeline, compiled on the backend about to be timed,
+    and raises on any mismatch.  Returns False (skipped) when the fused
+    path doesn't apply on this backend/batch; callers must refuse to
+    record a 'pallas' benchmark in that case or on failure.
+
+    Call this from the PROCESS THAT BENCHES (bench.py / tools/battery.py),
+    not a CPU subprocess — the point is the real device lowering."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    import minigrid_tpu
+    from minigrid_tpu.core.obs import gen_obs, gen_obs_batch
+    from minigrid_tpu.ops import obs_pallas
+
+    env = minigrid_tpu.make(env_id)
+    params = env.default_params
+    if not obs_pallas.pallas_obs_available(num_envs, params):
+        return False
+    keys = jax.random.split(jax.random.PRNGKey(20260820), num_envs)
+    states = jax.jit(jax.vmap(lambda k: env.generate(k, params)))(keys)
+    # scatter the agents so all directions/poses (incl. edges) occur
+    step = jax.jit(
+        jax.vmap(lambda s, a: env.step_state(s, a, params)[0])
+    )
+    for t in range(6):
+        acts = jax.random.randint(
+            jax.random.PRNGKey(t), (num_envs,), 0, env.num_actions, jnp.int32
+        )
+        states = step(states, acts)
+    got = jax.jit(lambda s: gen_obs_batch(s, params))(states)
+    ref = jax.jit(jax.vmap(lambda s: gen_obs(s, params)))(states)
+    for k in ("image", "direction", "mission"):
+        if not np.array_equal(np.asarray(got[k]), np.asarray(ref[k])):
+            bad = int(
+                (np.asarray(got[k]) != np.asarray(ref[k])).sum()
+            )
+            raise AssertionError(
+                f"COMPILED Pallas obs kernel disagrees with the vmap "
+                f"pipeline on this device ({k}: {bad} mismatching "
+                f"elements) — Mosaic lowering is WRONG, refusing to bench"
+            )
+    return True
+
+
 def run_smoke() -> None:
     # Pin to the local CPU backend: the container's sitecustomize forces a
     # remote TPU platform whose per-call tunnel latency makes a 150-step

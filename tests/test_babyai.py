@@ -166,6 +166,80 @@ def test_putnext_scripted():
     assert te and r > 0
 
 
+def test_putnext_relocated_fixed_object():
+    """Relocating the FIXED object before completing PutNext must still
+    allow success at its NEW position: the reference re-finds desc_fixed
+    members on the grid after every drop action (verifier.py:205-212 via
+    roomgrid_level.py:89-91), so the packed tracked2 plane must follow
+    pickup/drop moves of desc2 objects (carry2 flag), not lose them."""
+    env = minigrid_tpu.make("BabyAI-PutNextS5N1-v0")
+    params = env.default_params
+    state = mission = None
+    for seed in range(16):
+        _, s = env.reset(jax.random.PRNGKey(seed), params)
+        m = np.asarray(s.mission)
+        # distinct (type, color) for move vs fixed so the desc planes are
+        # disjoint and the test unambiguously tracks the fixed object
+        if (int(m[7]), int(m[8])) != (int(m[19]), int(m[20])):
+            state, mission = s, m
+            break
+    assert state is not None
+    type_map = {1: T["box"], 2: T["ball"], 3: T["key"]}
+    mt, mc = int(mission[7]), int(mission[8])
+    ft, fc = int(mission[19]), int(mission[20])
+    g = np.asarray(state.grid)
+    w, h, _ = g.shape
+    fx = np.argwhere((g[..., 0] == type_map[ft]) & (g[..., 1] == fc))[0]
+
+    # 1. pick up the FIXED object
+    acts = nav_actions(g, np.asarray(state.agent_pos), int(state.agent_dir), fx)
+    assert acts is not None
+    state, r, te, tr = drive(env, state, params, acts + [PICKUP])
+    assert not te
+
+    # 2. relocate it: drop at an empty cell far (L1 >= 4) from its old cell,
+    # so no cell adjacent to the new position is adjacent to the old one
+    g2 = np.asarray(state.grid)
+    new_pos = None
+    for cell in np.argwhere(g2[..., 0] == T["empty"]):
+        if abs(cell[0] - fx[0]) + abs(cell[1] - fx[1]) < 4:
+            continue
+        acts2 = nav_actions(g2, np.asarray(state.agent_pos),
+                            int(state.agent_dir), cell)
+        if acts2 is not None:
+            state, r, te, tr = drive(env, state, params, acts2 + [DROP])
+            new_pos = cell
+            break
+    assert new_pos is not None and not te
+
+    # 3. pick up the MOVE object
+    g3 = np.asarray(state.grid)
+    mv = np.argwhere((g3[..., 0] == type_map[mt]) & (g3[..., 1] == mc))[0]
+    acts3 = nav_actions(g3, np.asarray(state.agent_pos), int(state.agent_dir),
+                        mv)
+    assert acts3 is not None
+    state, r, te, tr = drive(env, state, params, acts3 + [PICKUP])
+    assert not te
+
+    # 4. drop it 4-adjacent to the fixed object's NEW position -> success
+    g4 = np.asarray(state.grid)
+    done = False
+    for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        cell = (new_pos[0] + dx, new_pos[1] + dy)
+        if not (0 <= cell[0] < w and 0 <= cell[1] < h):
+            continue
+        if g4[cell[0], cell[1], 0] != T["empty"]:
+            continue
+        acts4 = nav_actions(g4, np.asarray(state.agent_pos),
+                            int(state.agent_dir), cell)
+        if acts4 is not None:
+            state, r, te, tr = drive(env, state, params, acts4 + [DROP])
+            done = True
+            break
+    assert done
+    assert te and r > 0, (r, te)
+
+
 def test_goto_stale_position_quirk():
     """Reference quirk (roomgrid_level.py:89-91): object positions visible to
     the verifier refresh only on DROP, so a picked-up object keeps

