@@ -134,11 +134,13 @@ class GoTo(BabyAILevel):
         instr = V.single_clause(V.K_GOTO, V.desc(objs[pick, 0], objs[pick, 1]))
         if self.doors_open:
             # open_all_doors (roomgrid_level.py:237-247)
-            doors = b["grid"][..., 0] == C.OBJECT_TO_IDX["door"]
+            doors = (b["grid"] & 0xFF) == C.OBJECT_TO_IDX["door"]
             b = dict(b)
+            # rewrite the packed state field (bits 16..23) to 'open'
             b["grid"] = jnp.where(
-                doors[..., None] & (jnp.arange(3) == 2),
-                jnp.asarray(C.STATE_TO_IDX["open"], b["grid"].dtype),
+                doors,
+                (b["grid"] & jnp.uint32(0x0000FFFF))
+                | jnp.uint32(C.STATE_TO_IDX["open"] << 16),
                 b["grid"],
             )
         return self.finish_level(b, instr, params, valid)

@@ -305,7 +305,7 @@ class BabyAILevel(RoomGridEnv):
         """check_objs_reachable as a bounded flood fill: doors (any state)
         are passable, other objects are visitable but block expansion."""
         grid = b["grid"]
-        types = grid[..., 0].astype(jnp.int32)
+        types = (grid & 0xFF).astype(jnp.int32)
         w, h = types.shape
         empty = types == C.OBJECT_TO_IDX["empty"]
         door = types == C.OBJECT_TO_IDX["door"]

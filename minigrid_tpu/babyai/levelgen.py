@@ -238,10 +238,11 @@ class LevelGen(BabyAILevel):
                                     b["agent_dir"])
         if self.unblocking:
             # clauses must not name a key matching a locked door color
-            types = b["grid"][..., 0].astype(jnp.int32)
-            states = b["grid"][..., 2].astype(jnp.int32)
+            g = b["grid"]
+            types = (g & 0xFF).astype(jnp.int32)
+            states = ((g >> 16) & 0xFF).astype(jnp.int32)
             locked_doors = (types == _DOOR) & (states == C.STATE_TO_IDX["locked"])
-            colors = b["grid"][..., 1].astype(jnp.int32)
+            colors = ((g >> 8) & 0xFF).astype(jnp.int32)
             locked_colors = jnp.any(
                 locked_doors[..., None]
                 & (colors[..., None] == jnp.arange(C.NUM_COLORS)),

@@ -27,11 +27,11 @@ class Open(BabyAILevel):
                                        all_unique=False)
         valid = self.objs_reachable(b, params)
         # pick a uniform random door from the grid (open.py:29-38)
-        doors = b["grid"][..., 0] == _DOOR
+        doors = (b["grid"] & 0xFF) == _DOOR
         pos, found = jax.random.categorical(keys[4], jnp.where(
             doors.reshape(-1), 0.0, -jnp.inf)), jnp.any(doors)
         h = params.height
-        color = b["grid"][pos // h, pos % h, 1].astype(jnp.int32)
+        color = ((b["grid"][pos // h, pos % h] >> 8) & 0xFF).astype(jnp.int32)
         instr = V.single_clause(V.K_OPEN, V.desc(_DOOR, color))
         return self.finish_level(b, instr, params, valid & found)
 

@@ -268,8 +268,8 @@ def desc_match_mask(
     the agent's initial pose and restricted to its starting room
     (verifier.py:141-144)."""
     t_local, color, loc = desc[0], desc[1], desc[2]
-    types = grid[..., 0].astype(jnp.int32)
-    colors = grid[..., 1].astype(jnp.int32)
+    types = (grid & 0xFF).astype(jnp.int32)
+    colors = ((grid >> 8) & 0xFF).astype(jnp.int32)
     is_desc_obj = (
         (types == C.OBJECT_TO_IDX["box"])
         | (types == C.OBJECT_TO_IDX["ball"])
@@ -406,10 +406,11 @@ def _eval_clauses(
     xs = jax.lax.broadcasted_iota(jnp.int32, (w, h), 0)
     ys = jax.lax.broadcasted_iota(jnp.int32, (w, h), 1)
     front = (xs == fx) & (ys == fy)  # bool[w, h]
-    fwd_cell = jnp.max(jnp.where(front[..., None], grid, jnp.uint8(0)),
-                       axis=(0, 1))
-    fwd_is_door = (fwd_cell[0].astype(jnp.int32) == C.OBJECT_TO_IDX["door"]) & in_b
-    fwd_open = fwd_cell[2].astype(jnp.int32) == C.STATE_TO_IDX["open"]
+    fwd_word = jnp.max(jnp.where(front, grid, jnp.uint32(0)), axis=(0, 1))
+    fwd_is_door = ((fwd_word & 0xFF).astype(jnp.int32)
+                   == C.OBJECT_TO_IDX["door"]) & in_b
+    fwd_open = ((fwd_word >> 16) & 0xFF).astype(
+        jnp.int32) == C.STATE_TO_IDX["open"]
     # carrying anything after the step
     empty_before = outcome.prev_carrying[0] == C.OBJECT_TO_IDX["empty"]
     carrying_after = (~empty_before & ~outcome.dropped) | outcome.picked_up

@@ -1,10 +1,22 @@
-"""Functional grid-construction ops.
+"""Functional grid-construction ops over the PACKED grid representation.
 
 The reference builds levels by mutating a Grid object (wall builders
 grid.py:80-108, ``put_obj``/``place_obj`` minigrid_env.py:312-380).  Here every
 builder is a pure array op.  Positions are often *traced* values (sampled with
 ``jax.random``), so line/rect builders are expressed as coordinate-mask
 ``where`` writes instead of Python-loop scatters.
+
+**Packed representation (round 5).**  A grid is ``uint32[W, H]`` with each
+cell's reference (type, color, state) triple (grid.py:244-268) packed into
+one word: ``type | color << 8 | state << 16`` — the same packing the round-4
+Pallas obs kernel introduced for the egocentric window.  Why: a
+``uint8[W, H, 3]`` tensor puts the 3-wide triple on the 128-lane axis of
+every TPU vector tile, so the pooled auto-reset's per-step state selects
+move up to ~40x their useful bytes; packed u32 cells measured 3.4x faster
+on 25x25 grids (one batched consume select: 82.7 -> 24.4 us/step at
+B=4096, v5e).  The builder API still speaks triples — ``pack_cells`` /
+``unpack_cells`` convert at the boundary, and everything between stays
+one-word bit math.
 
 ``place_obj``'s rejection-sampling loop (minigrid_env.py:338-363) is replaced
 by its statistical fixed point: a single masked-categorical draw uniform over
@@ -27,6 +39,50 @@ _WALL = np.asarray(C.WALL_TRIPLE)
 _EMPTY_T = C.OBJECT_TO_IDX["empty"]
 
 
+def pack_cells(cells) -> jnp.ndarray:
+    """(..., 3) triples (uint8/int) -> packed uint32[...]:
+    type | color<<8 | state<<16."""
+    c = jnp.asarray(cells).astype(jnp.uint32)
+    return c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
+
+
+def unpack_cells(packed: jnp.ndarray) -> jnp.ndarray:
+    """packed uint32[...] -> uint8[..., 3] (type, color, state)."""
+    p = jnp.asarray(packed)
+    return jnp.stack(
+        [p & 0xFF, (p >> 8) & 0xFF, (p >> 16) & 0xFF], axis=-1
+    ).astype(jnp.uint8)
+
+
+def pack_np(cells: np.ndarray) -> np.ndarray:
+    """Host-side pack: numpy (..., 3) -> uint32[...]."""
+    c = np.asarray(cells).astype(np.uint32)
+    return c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
+
+
+def unpack_np(packed: np.ndarray) -> np.ndarray:
+    """Host-side unpack: numpy uint32[...] -> uint8[..., 3]."""
+    p = np.asarray(packed)
+    return np.stack(
+        [p & 0xFF, (p >> 8) & 0xFF, (p >> 16) & 0xFF], axis=-1
+    ).astype(np.uint8)
+
+
+def types(grid: jnp.ndarray) -> jnp.ndarray:
+    """int32[...] type ids of packed cells."""
+    return (grid & 0xFF).astype(jnp.int32)
+
+
+def colors(grid: jnp.ndarray) -> jnp.ndarray:
+    """int32[...] color ids of packed cells."""
+    return ((grid >> 8) & 0xFF).astype(jnp.int32)
+
+
+def states(grid: jnp.ndarray) -> jnp.ndarray:
+    """int32[...] door-state field of packed cells."""
+    return ((grid >> 16) & 0xFF).astype(jnp.int32)
+
+
 def coords(width: int, height: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Broadcast (W, H) x / y index planes."""
     xs = jax.lax.broadcasted_iota(jnp.int32, (width, height), 0)
@@ -35,8 +91,9 @@ def coords(width: int, height: int) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def set_where(grid: jnp.ndarray, mask: jnp.ndarray, triple: jnp.ndarray) -> jnp.ndarray:
-    """Write `triple` at every cell where mask is True."""
-    return jnp.where(mask[..., None], jnp.asarray(triple, dtype=jnp.uint8), grid)
+    """Write `triple` (a (..., 3) cell triple; packed internally) at every
+    cell where mask is True."""
+    return jnp.where(mask, pack_cells(triple), grid)
 
 
 def put(grid: jnp.ndarray, x, y, triple) -> jnp.ndarray:
@@ -59,14 +116,19 @@ def take1(vec: jnp.ndarray, i) -> jnp.ndarray:
     return jnp.sum(jnp.where(jnp.arange(n) == i, vec, 0))
 
 
-def read_cell(grid: jnp.ndarray, x, y) -> jnp.ndarray:
+def read_word(grid: jnp.ndarray, x, y) -> jnp.ndarray:
     """Single-cell read as a masked reduce (a vmapped one-cell gather lowers
-    to a serialized kCustom kernel — see :func:`put`).  Returns the (3,)
-    triple at (x, y); coords must be in bounds."""
+    to a serialized kCustom kernel — see :func:`put`).  Returns the packed
+    uint32 word at (x, y); coords must be in bounds."""
     w, h = grid.shape[:2]
     xs, ys = coords(w, h)
     m = (xs == x) & (ys == y)
-    return jnp.max(jnp.where(m[..., None], grid, jnp.uint8(0)), axis=(0, 1))
+    return jnp.max(jnp.where(m, grid, jnp.uint32(0)), axis=(0, 1))
+
+
+def read_cell(grid: jnp.ndarray, x, y) -> jnp.ndarray:
+    """Single-cell read; returns the (3,) uint8 triple at (x, y)."""
+    return unpack_cells(read_word(grid, x, y))
 
 
 def put_if(grid: jnp.ndarray, x, y, triple, enabled=True) -> jnp.ndarray:
@@ -115,7 +177,7 @@ def wall_rect(grid: jnp.ndarray, x, y, rw, rh, triple=None) -> jnp.ndarray:
 
 def is_empty(grid: jnp.ndarray) -> jnp.ndarray:
     """(W, H) mask of cells encoding None (grid.py:261: empty == (1, 0, 0))."""
-    return grid[..., 0] == _EMPTY_T
+    return (grid & 0xFF) == _EMPTY_T
 
 
 def rect_mask(

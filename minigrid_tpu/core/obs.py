@@ -22,11 +22,20 @@ import jax
 import jax.numpy as jnp
 
 from minigrid_tpu.core import constants as C
+from minigrid_tpu.core.grid_ops import pack_cells, unpack_cells
 from minigrid_tpu.core.state import EnvParams, EnvState
 from minigrid_tpu.core.step import _table_ranges, dir_to_vec, in_table
 
 _SEE_BEHIND_RANGES = _table_ranges(C.SEE_BEHIND)
 _WALL = np.asarray(C.WALL_TRIPLE)
+# Grids are PACKED uint32 cell words (grid_ops.py); the whole obs pipeline
+# — gather, rotation, occlusion, overlay — stays in the packed layout and
+# unpacks only at the final encode, because the unpacked uint8[..., 3]
+# layout pads its 3-wide minor dim onto 128-lane vector tiles (measured
+# +23 us/step at batch 4096 just for rotating unpacked — PERF.md round 4).
+_WALL_PACKED = jnp.uint32(
+    int(C.WALL_TRIPLE[0]) | (int(C.WALL_TRIPLE[1]) << 8)
+    | (int(C.WALL_TRIPLE[2]) << 16))
 _EMPTY = np.asarray(C.EMPTY_TRIPLE)
 _DOOR = C.OBJECT_TO_IDX["door"]
 _EMPTY_T = C.OBJECT_TO_IDX["empty"]
@@ -87,7 +96,8 @@ def gather_view_onehot(
     agent_dir: jnp.ndarray,
     view_size: int,
 ) -> jnp.ndarray:
-    """One-hot separable window extraction + static rotation select.
+    """One-hot separable window extraction + static rotation select, on
+    PACKED uint32 cells: uint32[W, H] -> uint32[V, V].
 
     Per facing direction the view is an axis-aligned W-rect sliced at
     (topX, topY) then rotated (dir+1) times (grid.py:110-143); the rotation
@@ -97,34 +107,34 @@ def gather_view_onehot(
     of a per-env gather (see GATHER_IMPL).  Out-of-bounds rows/columns have
     all-zero one-hot weights; the oob mask then stamps grey walls
     (grid.py:139)."""
-    w, h, _ = grid.shape
+    w, h = grid.shape
     v = view_size
     top_x, top_y = _view_exts(agent_pos, agent_dir, v)
     ar = jnp.arange(v, dtype=jnp.int32)
     xs = top_x + ar  # [V] world rows of the unrotated rect
     ys = top_y + ar  # [V] world cols
-    # rect1[i,h,c] = grid[xs[i], h, c] as a masked reduce over w
+    # rect1[i,h] = grid[xs[i], h] as a masked reduce over w
     eq_x = (xs[:, None] == jnp.arange(w, dtype=jnp.int32)[None, :])  # [V,W]
     rect1 = jnp.sum(
-        jnp.where(eq_x[:, :, None, None], grid[None], jnp.uint8(0)),
-        axis=1, dtype=jnp.uint8)  # [V,H,3]; one-hot rows -> no overflow
-    # rect[i,j,c] = rect1[i, ys[j], c]
+        jnp.where(eq_x[:, :, None], grid[None], jnp.uint32(0)),
+        axis=1, dtype=jnp.uint32)  # [V,H]; one-hot rows -> no overflow
+    # rect[i,j] = rect1[i, ys[j]]
     eq_y = (ys[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :])  # [V,H]
     rect = jnp.sum(
-        jnp.where(eq_y[None, :, :, None], rect1[:, None], jnp.uint8(0)),
-        axis=2, dtype=jnp.uint8)  # [V,V,3]
+        jnp.where(eq_y[None, :, :], rect1[:, None], jnp.uint32(0)),
+        axis=2, dtype=jnp.uint32)  # [V,V]
     oob = ((xs[:, None] < 0) | (xs[:, None] >= w)
            | (ys[None, :] < 0) | (ys[None, :] >= h))
-    rect = jnp.where(oob[..., None], _WALL, rect)
+    rect = jnp.where(oob, _WALL_PACKED, rect)
     # view = rotate_left^(dir+1)(rect): four static transforms, one select.
     # d == 3 rotates 4 times — the IDENTITY (grid.py:110-122), so the final
     # branch returns rect unchanged.
-    f0 = rect[::-1, :, :]
-    f1 = rect[:, ::-1, :]
+    f0 = rect[::-1, :]
+    f1 = rect[:, ::-1]
     d = agent_dir
     return jnp.where(
         d == 0, jnp.swapaxes(f0, 0, 1),
-        jnp.where(d == 1, f0[:, ::-1, :],
+        jnp.where(d == 1, f0[:, ::-1],
                   jnp.where(d == 2, jnp.swapaxes(f1, 0, 1), rect)))
 
 
@@ -141,8 +151,9 @@ def gather_view_onehot2d(
     world coordinate of every view cell (view_world_coords already bakes in
     the dir-dependent rotation) drives a single [V,V,W,H] one-hot reduce:
     ~4x the VPU ops of the separable form, but one kernel and no
-    intermediates — a win when the step program is launch-bound."""
-    w, h, _ = grid.shape
+    intermediates — a win when the step program is launch-bound.
+    Packed: uint32[W, H] -> uint32[V, V]."""
+    w, h = grid.shape
     v = view_size
     wx, wy = view_world_coords(agent_pos, agent_dir, v)  # [V,V] each
     eq = ((wx[..., None] == jnp.arange(w, dtype=jnp.int32)[None, None, :])
@@ -150,10 +161,10 @@ def gather_view_onehot2d(
           & (wy[..., None] == jnp.arange(h, dtype=jnp.int32)[None, None, :])
           [..., None, :])  # [V,V,W,H]
     rect = jnp.sum(
-        jnp.where(eq[..., None], grid[None, None], jnp.uint8(0)),
-        axis=(2, 3), dtype=jnp.uint8)  # [V,V,3]
+        jnp.where(eq, grid[None, None], jnp.uint32(0)),
+        axis=(2, 3), dtype=jnp.uint32)  # [V,V]
     oob = (wx < 0) | (wx >= w) | (wy < 0) | (wy >= h)
-    return jnp.where(oob[..., None], _WALL, rect)
+    return jnp.where(oob, _WALL_PACKED, rect)
 
 
 def gather_view_matmul(
@@ -163,9 +174,15 @@ def gather_view_matmul(
     view_size: int,
 ) -> jnp.ndarray:
     """Window extraction as two int8 matmuls (MXU-eligible alternative to
-    the one-hot masked reductions; exact — cell codes < 127 fit int8, and
-    the one-hot rows make every output a single product ≤ 255 < 2^31)."""
-    w, h, _ = grid.shape
+    the one-hot masked reductions; exact — cell FIELDS are < 127 so the
+    triple view fits int8, and the one-hot rows make every output a single
+    product ≤ 255 < 2^31).  Interface matches the packed impls
+    (uint32[W, H] -> uint32[V, V]); the int8 contraction runs on the
+    unpacked triple view internally — this variant exists as the measured
+    MXU formulation of the gather (PERF.md round-4 shootout), not as the
+    default."""
+    w, h = grid.shape
+    grid = unpack_cells(grid)  # [W, H, 3] uint8 view for the contraction
     v = view_size
     top_x, top_y = _view_exts(agent_pos, agent_dir, v)
     ar = jnp.arange(v, dtype=jnp.int32)
@@ -187,13 +204,13 @@ def gather_view_matmul(
     rect = jnp.swapaxes(rect, 0, 1).astype(jnp.uint8)  # [V(i), V(j), 3]
     oob = ((xs[:, None] < 0) | (xs[:, None] >= w)
            | (ys[None, :] < 0) | (ys[None, :] >= h))
-    rect = jnp.where(oob[..., None], _WALL, rect)
-    f0 = rect[::-1, :, :]
-    f1 = rect[:, ::-1, :]
+    rect = pack_cells(jnp.where(oob[..., None], _WALL, rect))  # [V, V] u32
+    f0 = rect[::-1, :]
+    f1 = rect[:, ::-1]
     d = agent_dir
     return jnp.where(
         d == 0, jnp.swapaxes(f0, 0, 1),
-        jnp.where(d == 1, f0[:, ::-1, :],
+        jnp.where(d == 1, f0[:, ::-1],
                   jnp.where(d == 2, jnp.swapaxes(f1, 0, 1), rect)))
 
 
@@ -203,12 +220,13 @@ def gather_view_gather(
     agent_dir: jnp.ndarray,
     view_size: int,
 ) -> jnp.ndarray:
-    """Naive formulation: one fused slice+rotate dynamic gather."""
-    w, h, _ = grid.shape
+    """Naive formulation: one fused slice+rotate dynamic gather.
+    Packed: uint32[W, H] -> uint32[V, V]."""
+    w, h = grid.shape
     wx, wy = view_world_coords(agent_pos, agent_dir, view_size)
     oob = (wx < 0) | (wx >= w) | (wy < 0) | (wy >= h)
     cells = grid[jnp.clip(wx, 0, w - 1), jnp.clip(wy, 0, h - 1)]
-    return jnp.where(oob[..., None], _WALL, cells)
+    return jnp.where(oob, _WALL_PACKED, cells)
 
 
 def gather_view(
@@ -217,7 +235,8 @@ def gather_view(
     agent_dir: jnp.ndarray,
     view_size: int,
 ) -> jnp.ndarray:
-    """Extract the rotated egocentric V×V×3 window (slice+rotate fused)."""
+    """Extract the rotated egocentric window, PACKED: uint32[W, H] ->
+    uint32[V, V] (slice+rotate fused)."""
     if GATHER_IMPL == "onehot":
         return gather_view_onehot(grid, agent_pos, agent_dir, view_size)
     if GATHER_IMPL == "onehot2d":
@@ -228,16 +247,17 @@ def gather_view(
 
 
 def see_behind(cells: jnp.ndarray) -> jnp.ndarray:
-    """Transparency of (..., 3) cell triples: per-type table + open-door rule
+    """Transparency of packed uint32 cells: per-type table + open-door rule
     (world_object.py:59-61, 210-211, 226-227)."""
-    t = cells[..., 0].astype(jnp.int32)
-    s = cells[..., 2].astype(jnp.int32)
+    t = (cells & 0xFF).astype(jnp.int32)
+    s = ((cells >> 16) & 0xFF).astype(jnp.int32)
     return in_table(t, _SEE_BEHIND_RANGES) & (
         (t != _DOOR) | (s == C.STATE_TO_IDX["open"]))
 
 
 def process_vis(cells: jnp.ndarray, view_size: int) -> jnp.ndarray:
-    """Occlusion mask over the V×V view; agent at (V//2, V-1).
+    """Occlusion mask over the V×V view (packed uint32 cells); agent at
+    (V//2, V-1).
 
     Faithful re-derivation of Grid.process_vis (grid.py:291-328): rows are
     processed bottom-up; within a row a left-to-right then right-to-left
@@ -314,9 +334,11 @@ def process_vis(cells: jnp.ndarray, view_size: int) -> jnp.ndarray:
 def gen_obs_grid(
     state: EnvState, params: EnvParams
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(view_cells uint8[V,V,3], vis_mask bool[V,V]) — the tensor analogue of
-    MiniGridEnv.gen_obs_grid (minigrid_env.py:594-629), including the
-    carried-object overlay at the agent cell."""
+    """(view_cells PACKED uint32[V,V], vis_mask bool[V,V]) — the tensor
+    analogue of MiniGridEnv.gen_obs_grid (minigrid_env.py:594-629),
+    including the carried-object overlay at the agent cell.  Cells stay in
+    the packed layout; unpack with grid_ops.unpack_cells where triples are
+    needed (encode_view does this for the obs image)."""
     v = params.agent_view_size
     cells = gather_view(state.grid, state.agent_pos, state.agent_dir, v)
     if params.see_through_walls:
@@ -328,13 +350,16 @@ def gen_obs_grid(
     # even with static indices — in the hottest path of every family.
     agent_cell = ((np.arange(v)[:, None] == v // 2)
                   & (np.arange(v)[None, :] == v - 1))
-    cells = jnp.where(agent_cell[..., None], state.carrying, cells)
+    cells = jnp.where(agent_cell, pack_cells(state.carrying), cells)
     return cells, vis_mask
 
 
 def encode_view(cells: jnp.ndarray, vis_mask: jnp.ndarray) -> jnp.ndarray:
-    """Masked encode (grid.py:244-268): invisible cells -> unseen (0,0,0)."""
-    return jnp.where(vis_mask[..., None], cells, jnp.zeros_like(cells))
+    """Masked encode (grid.py:244-268): invisible cells -> unseen (0,0,0).
+
+    Takes PACKED uint32[V, V] cells; returns the reference's uint8[V, V, 3]
+    image (unseen packs to 0, so the mask applies pre-unpack)."""
+    return unpack_cells(jnp.where(vis_mask, cells, jnp.uint32(0)))
 
 
 def gen_obs(state: EnvState, params: EnvParams) -> dict:
@@ -365,9 +390,9 @@ def gen_obs_batch(states: EnvState, params: EnvParams) -> dict:
     if not obs_pallas.pallas_obs_available(num_envs, params):
         return jax.vmap(lambda s: gen_obs(s, params))(states)
     v = params.agent_view_size
-    cells = obs_pallas.gather_view_pallas(
+    cells = obs_pallas.gather_view_pallas_packed(
         states.grid, states.agent_pos, states.agent_dir, v
-    )  # [B, V, V, 3] rotated
+    )  # [B, V, V] rotated, packed
     if params.see_through_walls:
         vis_mask = jnp.ones((num_envs, v, v), dtype=bool)
     else:
@@ -375,10 +400,10 @@ def gen_obs_batch(states: EnvState, params: EnvParams) -> dict:
     agent_cell = ((np.arange(v)[:, None] == v // 2)
                   & (np.arange(v)[None, :] == v - 1))
     cells = jnp.where(
-        agent_cell[None, ..., None], states.carrying[:, None, None, :], cells
+        agent_cell[None], pack_cells(states.carrying)[:, None, None], cells
     )
     return {
-        "image": jnp.where(vis_mask[..., None], cells, jnp.zeros_like(cells)),
+        "image": unpack_cells(jnp.where(vis_mask, cells, jnp.uint32(0))),
         "direction": states.agent_dir,
         "mission": states.mission,
     }

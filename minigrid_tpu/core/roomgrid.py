@@ -301,7 +301,7 @@ class RoomGridEnv(Env):
         w, h = params.width, params.height
         room = self.room_rect_mask(params, i, j)
         empty = G.is_empty(b["grid"]) & room
-        types = b["grid"][..., 0].astype(jnp.int32)
+        types = G.types(b["grid"])
         ok_dirs = []
         for d in range(4):
             dx, dy = int(C.DIR_TO_VEC[d][0]), int(C.DIR_TO_VEC[d][1])
@@ -410,15 +410,15 @@ class RoomGridEnv(Env):
         stamp = ((xs[None] == b["door_pos"][:, 0, None, None])
                  & (ys[None] == b["door_pos"][:, 1, None, None])
                  & new_door[:, None, None])
-        doors = jnp.stack([
+        doors = G.pack_cells(jnp.stack([
             jnp.full((n_walls,), _DOOR, jnp.int32),
             colors.astype(jnp.int32),
             jnp.full((n_walls,), closed, jnp.int32),
-        ], axis=1)
+        ], axis=1))  # uint32[n_walls]
         val = jnp.max(
-            jnp.where(stamp[..., None], doors[:, None, None, :], 0), axis=0
-        ).astype(grid.dtype)
-        grid = jnp.where(jnp.any(stamp, axis=0)[..., None], val, grid)
+            jnp.where(stamp, doors[:, None, None], jnp.uint32(0)), axis=0
+        )
+        grid = jnp.where(jnp.any(stamp, axis=0), val, grid)
         b = dict(b)
         b["grid"] = grid
         b["has_door"] = b["has_door"] | new_door

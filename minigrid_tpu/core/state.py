@@ -33,8 +33,8 @@ from minigrid_tpu.core.constants import EMPTY_TRIPLE
 class EnvState:
     """Complete per-env episode state; one pytree, all static shapes."""
 
-    grid: jnp.ndarray  # uint8[W, H, 3] — (type, color, state) per cell
-    box_contains: jnp.ndarray  # uint8[W, H, 3] — contents plane for boxes
+    grid: jnp.ndarray  # uint32[W, H] — packed (type | color<<8 | state<<16)
+    box_contains: jnp.ndarray  # uint32[W, H] — packed contents plane for boxes
     agent_pos: jnp.ndarray  # int32[2] — (x, y)
     agent_dir: jnp.ndarray  # int32 — 0 east / 1 south / 2 west / 3 north
     carrying: jnp.ndarray  # uint8[3] — carried triple; type==empty => hands free
@@ -69,11 +69,13 @@ class EnvParams:
 
 
 def empty_grid(width: int, height: int) -> jnp.ndarray:
-    """A W×H grid of 'empty' cells (the tensor analogue of Grid.__init__'s
-    all-None list, reference grid.py:35)."""
-    return jnp.broadcast_to(
-        jnp.asarray(EMPTY_TRIPLE, dtype=jnp.uint8), (width, height, 3)
-    )
+    """A W×H PACKED grid of 'empty' cells (the tensor analogue of
+    Grid.__init__'s all-None list, reference grid.py:35).  Packed layout:
+    uint32 per cell, type | color<<8 | state<<16 — see
+    :mod:`minigrid_tpu.core.grid_ops`."""
+    empty_word = int(EMPTY_TRIPLE[0]) | (int(EMPTY_TRIPLE[1]) << 8) | (
+        int(EMPTY_TRIPLE[2]) << 16)
+    return jnp.full((width, height), empty_word, dtype=jnp.uint32)
 
 
 def no_object() -> jnp.ndarray:
@@ -99,7 +101,7 @@ def base_state(
     drops the ``box_contains``/``carrying_contains`` planes from the pytree
     entirely — the transition skips the box logic statically and the
     auto-reset lane stops moving a dead W×H×3 plane every step."""
-    w, h, _ = grid.shape
+    w, h = grid.shape[:2]
     if box_contains is None and has_boxes:
         box_contains = empty_grid(w, h)
     if mission is None:

@@ -167,19 +167,26 @@ def base_step(
     xs = jax.lax.broadcasted_iota(jnp.int32, (w, h), 0)
     ys = jax.lax.broadcasted_iota(jnp.int32, (w, h), 1)
     front_mask = (xs == cx) & (ys == cy)  # bool[w, h], one-hot
-    fm3 = front_mask[..., None]
+    # The grid is PACKED (uint32 cell words, grid_ops.py): the front-cell
+    # read is a one-word masked reduce; the triple view unpacks for the
+    # branch logic below (bitops fuse with their consumers).
+    from minigrid_tpu.core.grid_ops import pack_cells, unpack_cells
+
+    fwd_word = jnp.max(jnp.where(front_mask, state.grid, jnp.uint32(0)),
+                       axis=(0, 1))
     fwd_cell = jnp.where(
         in_bounds,
-        jnp.max(jnp.where(fm3, state.grid, jnp.uint8(0)), axis=(0, 1)),
+        unpack_cells(fwd_word),
         jnp.asarray(C.WALL_TRIPLE, dtype=jnp.uint8),
     )
     # Envs that can never hold a Box carry no contents planes (state.py
     # base_state(has_boxes=False)) — the box logic drops out statically.
     has_boxes = state.box_contains is not None
     if has_boxes:
-        fwd_contains = jnp.max(
-            jnp.where(fm3, state.box_contains, jnp.uint8(0)), axis=(0, 1)
-        )
+        fwd_contains = unpack_cells(jnp.max(
+            jnp.where(front_mask, state.box_contains, jnp.uint32(0)),
+            axis=(0, 1),
+        ))
     else:
         fwd_contains = _EMPTY
     fwd_type = fwd_cell[0].astype(jnp.int32)
@@ -235,8 +242,8 @@ def base_step(
     new_fwd_cell = jnp.where(toggle_door, door_cell, new_fwd_cell)
     new_fwd_cell = jnp.where(toggle_box, fwd_contains, new_fwd_cell)
 
-    write_mask = (front_mask & in_bounds)[..., None]
-    grid = jnp.where(write_mask, new_fwd_cell, state.grid)
+    write_mask = front_mask & in_bounds
+    grid = jnp.where(write_mask, pack_cells(new_fwd_cell), state.grid)
 
     if has_boxes:
         new_fwd_contains = fwd_contains
@@ -244,7 +251,7 @@ def base_step(
                                      new_fwd_contains)
         new_fwd_contains = jnp.where(dropped, state.carrying_contains,
                                      new_fwd_contains)
-        box_contains = jnp.where(write_mask, new_fwd_contains,
+        box_contains = jnp.where(write_mask, pack_cells(new_fwd_contains),
                                  state.box_contains)
         new_carrying_contains = jnp.where(
             picked_up, fwd_contains,

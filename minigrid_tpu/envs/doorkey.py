@@ -76,9 +76,11 @@ class DoorKeyEnv(Env):
         wall_mask = xs == split
         door_mask = wall_mask & (ys == door_y)
         key_mask = (xs == key_x) & (ys == key_y)
-        grid = jnp.where(wall_mask[..., None], jnp.asarray(C.WALL_TRIPLE, jnp.uint8), base)
-        grid = jnp.where(door_mask[..., None], jnp.array([_DOOR, _YELLOW, _LOCKED], jnp.uint8), grid)
-        grid = jnp.where(key_mask[..., None], jnp.array([_KEY, _YELLOW, 0], jnp.uint8), grid)
+        grid = G.set_where(base, wall_mask, C.WALL_TRIPLE)
+        grid = G.set_where(grid, door_mask,
+                           jnp.array([_DOOR, _YELLOW, _LOCKED], jnp.uint8))
+        grid = G.set_where(grid, key_mask,
+                           jnp.array([_KEY, _YELLOW, 0], jnp.uint8))
         return base_state(grid, agent_pos, agent_dir, rng=k_state, has_boxes=False)
 
     def mission_text(self, mission) -> str:

@@ -205,8 +205,11 @@ class GymEnv(gym.Env):
     @property
     def grid(self) -> np.ndarray:
         """Full-grid encode, (W, H, 3) uint8 — the reference's
-        ``grid.encode()`` surface (the tensor engine stores exactly this)."""
-        return np.asarray(self._state.grid)
+        ``grid.encode()`` surface (the engine stores the packed uint32
+        form; this unpacks at the host boundary)."""
+        from minigrid_tpu.core.grid_ops import unpack_np
+
+        return unpack_np(np.asarray(self._state.grid))
 
     def get_view_coords(self, i, j):
         """World (i, j) -> agent-view coordinates (minigrid_env.py:425-450);
@@ -243,7 +246,7 @@ class GymEnv(gym.Env):
 
         obs = gen_obs(self._state, self.params)
         obs_type = int(np.asarray(obs["image"])[vx, vy, 0])
-        world_type = int(np.asarray(self._state.grid)[x, y, 0])
+        world_type = int(np.asarray(self._state.grid)[x, y] & 0xFF)
         # reference: decoded obs cell is not None (i.e. a real object) and
         # its type equals the world cell's
         hidden = (C.OBJECT_TO_IDX["unseen"], C.OBJECT_TO_IDX["empty"])
@@ -257,7 +260,9 @@ class GymEnv(gym.Env):
         idx_to_obj = {v: k for k, v in C.OBJECT_TO_IDX.items()}
         idx_to_color = {v: k for k, v in C.COLOR_TO_IDX.items()}
         dir_str = {0: ">", 1: "V", 2: "<", 3: "^"}
-        g = np.asarray(self._state.grid)
+        from minigrid_tpu.core.grid_ops import unpack_np
+
+        g = unpack_np(np.asarray(self._state.grid))
         w, h = g.shape[:2]
         ax, ay = self.agent_pos
         rows = []

@@ -405,7 +405,9 @@ class FusedVectorEnv:
 
     # -- state conversion ------------------------------------------------------
     def _planes_from_states(self, states) -> dict:
-        g = states.grid.astype(jnp.int32)  # [N, W, H, 3]
+        # EnvState grids are packed uint32 words with the same field layout
+        # as this backend's int32 planes (type | color<<8 | state<<16)
+        g = states.grid.astype(jnp.int32)  # [N, W, H] packed
         n = g.shape[0]
         wh = g.shape[1] * g.shape[2]
         ag = jnp.zeros((n, A_WIDTH), jnp.int32)
@@ -415,7 +417,7 @@ class FusedVectorEnv:
         ag = ag.at[:, A_CNT].set(states.step_count)
         ag = ag.at[:, A_CTYP].set(states.carrying[:, 0].astype(jnp.int32))
         ag = ag.at[:, A_CCOL].set(states.carrying[:, 1].astype(jnp.int32))
-        packed = _pack(g[..., 0], g[..., 1], g[..., 2]).reshape(n, wh)
+        packed = g.reshape(n, wh)
         if self._lanes > wh:
             pad = jnp.full((n, self._lanes - wh),
                            _WALL | (C.COLOR_TO_IDX["grey"] << 8), jnp.int32)
@@ -435,9 +437,8 @@ class FusedVectorEnv:
         p = self.params
         n = fs["grid"].shape[0]
         wh = p.width * p.height
-        typ, col, sta = _unpack(
-            fs["grid"][:, :wh].reshape(n, p.width, p.height))
-        grid = jnp.stack([typ, col, sta], axis=-1).astype(jnp.uint8)
+        grid = fs["grid"][:, :wh].reshape(
+            n, p.width, p.height).astype(jnp.uint32)
         ag = fs["agent"]
 
         def mk(g, ag, m):

@@ -159,8 +159,10 @@ def gather_view_pallas_packed(
     agent_dir: jnp.ndarray,
     view_size: int,
 ) -> jnp.ndarray:
-    """Batched rotated egocentric window, PACKED: uint8[B, W, H, 3] ->
-    uint32[B, V, V] (type | color<<8 | state<<16 per cell).
+    """Batched rotated egocentric window over PACKED grids:
+    uint32[B, W, H] -> uint32[B, V, V] (type | color<<8 | state<<16 per
+    cell).  Since round 5 the grid STATE itself is packed (grid_ops.py), so
+    the kernel consumes it directly — no pack preamble.
 
     The epilogue (transpose + rotation select) stays in the packed u32
     layout on purpose: rotating the unpacked uint8[B, V, V, 3] instead
@@ -168,12 +170,12 @@ def gather_view_pallas_packed(
     trailing (V, 3) dims pad onto (32, 128) u8 vector tiles."""
     from minigrid_tpu.core.obs import _view_exts
 
-    B, W, H, _ = grid.shape
+    B, W, H = grid.shape
     V = view_size
     Bk = _block_lanes(B, W, H)
     assert Bk is not None, "batch not lane-tileable; use the vmap path"
     tx, ty = jax.vmap(lambda p, d: _view_exts(p, d, V))(agent_pos, agent_dir)
-    gp = pack_triples(grid).reshape(B, W * H).T  # [W*H, B]
+    gp = grid.astype(jnp.uint32).reshape(B, W * H).T  # [W*H, B]
     sc = jnp.stack(
         [tx, ty, agent_dir, jnp.zeros_like(tx)], axis=0
     )  # [4, B] int32
@@ -212,8 +214,8 @@ def gather_view_pallas(
     agent_dir: jnp.ndarray,
     view_size: int,
 ) -> jnp.ndarray:
-    """Batched rotated egocentric window: uint8[B, W, H, 3] ->
-    uint8[B, V, V, 3].  Semantics of ``vmap(gather_view)``
+    """Batched rotated egocentric window, triple view: uint32[B, W, H]
+    packed grid -> uint8[B, V, V, 3].  Semantics of ``vmap(gather_view)``
     (minigrid_env.py:594-629) in one kernel + fused XLA epilogue."""
     return unpack_triples(
         gather_view_pallas_packed(grid, agent_pos, agent_dir, view_size)

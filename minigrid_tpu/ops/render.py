@@ -79,9 +79,13 @@ def get_atlas(tile_size: int = C.TILE_PIXELS):
 
 
 def cell_codes(grid: jnp.ndarray) -> jnp.ndarray:
-    """(W, H) atlas code per cell: (type*11 + color)*3 + state."""
-    g = grid.astype(jnp.int32)
-    return (g[..., 0] * C.NUM_COLORS + g[..., 1]) * 3 + g[..., 2]
+    """(W, H) atlas code per cell: (type*11 + color)*3 + state.
+    Takes the PACKED uint32 grid (grid_ops.py)."""
+    g = grid.astype(jnp.uint32)
+    t = (g & 0xFF).astype(jnp.int32)
+    c = ((g >> 8) & 0xFF).astype(jnp.int32)
+    s = ((g >> 16) & 0xFF).astype(jnp.int32)
+    return (t * C.NUM_COLORS + c) * 3 + s
 
 
 def render_grid(
@@ -93,7 +97,7 @@ def render_grid(
 ) -> jnp.ndarray:
     """Grid.render (grid.py:200-242) as one gather.  Returns
     uint8[H*T, W*T, 3] (frames are row-major [y, x] like the reference)."""
-    w, h, _ = grid.shape
+    w, h = grid.shape[:2]
     tile = atlas.shape[-2]
     codes = cell_codes(grid)  # (W, H)
 
@@ -145,9 +149,9 @@ def pov_render(state: EnvState, params: EnvParams,
     """get_pov_render (minigrid_env.py:653-667): the agent's view rendered
     with invisible cells blanked, agent at center-bottom facing up."""
     v = params.agent_view_size
-    cells, vis_mask = gen_obs_grid(state, params)
-    unseen = jnp.asarray([1, 0, 0], cells.dtype)  # constant (no scatter)
-    cells = jnp.where(vis_mask[..., None], cells, unseen)
+    cells, vis_mask = gen_obs_grid(state, params)  # packed uint32[V, V]
+    unseen = jnp.uint32(1)  # packed (empty, 0, 0) — constant (no scatter)
+    cells = jnp.where(vis_mask, cells, unseen)
     return render_grid(
         cells, atlas,
         agent_pos=jnp.asarray([v // 2, v - 1]),

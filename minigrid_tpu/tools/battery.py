@@ -9,7 +9,9 @@ Usage::
     python -m minigrid_tpu.tools.battery SPEC [SPEC ...]
 
     SPEC = env_id[:key=val,...]
-    keys = num_envs, steps, strategy, refill, strict, period, unroll
+    keys = num_envs, steps, strategy, refill, strict, period, unroll,
+           obs (symbolic|rgb), tile (rgb tile size, default 8 — the
+           reference RGBImgPartialObsWrapper default, wrappers.py:195)
 
 Examples::
 
@@ -45,7 +47,14 @@ def run_spec(spec: str) -> dict:
     strategy = opts.get("strategy")
     strict = bool(int(opts.get("strict", 0)))
     refill = int(opts["refill"]) if "refill" in opts else None
+    obs_mode = opts.get("obs", "symbolic")
     env = minigrid_tpu.make(env_id)
+    if obs_mode == "rgb":
+        # the reference's headline metric is RGB partial-obs step FPS
+        # (minigrid/benchmark.py:30-46); this row is its vectorized analogue
+        from minigrid_tpu.wrappers import RGBImgPartialObsWrapper
+
+        env = RGBImgPartialObsWrapper(env, tile_size=int(opts.get("tile", 8)))
     venv = VectorEnv(env, num_envs, reset_strategy=strategy,
                      pool_refill=refill, strict_refill=strict)
     sps, compile_s, stats = timed_rollout(venv, steps, refill_period=period,
@@ -54,7 +63,7 @@ def run_spec(spec: str) -> dict:
 
     row = {
         "env": env_id, "num_envs": num_envs, "steps": steps,
-        "gather_impl": GATHER_IMPL,
+        "obs": obs_mode, "gather_impl": GATHER_IMPL,
         "strategy": venv.reset_strategy, "refill_period": period,
         "unroll": unroll, "pool_refill": venv.pool_refill
         if venv.reset_strategy == "pooled" else None, "strict": strict,

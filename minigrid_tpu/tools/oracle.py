@@ -95,7 +95,9 @@ class OracleAgent:
 
     def action_sequence(self, state: EnvState, goal) -> list[tuple] | None:
         """The BFS path to `goal` (a grid cell), as path cells."""
-        grid = np.asarray(state.grid)
+        from minigrid_tpu.core.grid_ops import unpack_np
+
+        grid = unpack_np(np.asarray(state.grid))
         start = (int(state.agent_pos[0]), int(state.agent_pos[1]),
                  int(C.DIR_TO_VEC[int(state.agent_dir)][0]),
                  int(C.DIR_TO_VEC[int(state.agent_dir)][1]))

@@ -38,9 +38,11 @@ def _check_gather_impls() -> None:
         gather_view_onehot2d,
     )
 
+    from minigrid_tpu.core.grid_ops import pack_np
+
     rng = np.random.default_rng(0)
     w, h, v = 9, 6, 7
-    grid = jnp.asarray(
+    grid = jnp.asarray(pack_np(
         np.stack(
             [
                 rng.integers(0, 34, (w, h)),
@@ -49,7 +51,7 @@ def _check_gather_impls() -> None:
             ],
             axis=-1,
         ).astype(np.uint8)
-    )
+    ))
     poses = jnp.asarray(
         [[x, y] for x in range(w) for y in range(h)], dtype=jnp.int32
     )
@@ -93,10 +95,11 @@ def _check_gather_impls() -> None:
     obs_pallas.INTERPRET = True
     try:
         out_b = np.asarray(
-            obs_pallas.gather_view_pallas(grids, pos_b, dir_b, v)
+            obs_pallas.gather_view_pallas_packed(grids, pos_b, dir_b, v)
         )
     finally:
         obs_pallas.INTERPRET = saved
+    # both sides are packed uint32 windows
     if not np.array_equal(out_b, ref_b):
         raise AssertionError(
             "gather_view_pallas disagrees with gather_view_gather — the "

@@ -41,9 +41,11 @@ def from_reference(ref_env, rng=None) -> EnvState:
     carrying = encode_obj(ref_env.carrying)
     carrying_contains = encode_obj(getattr(ref_env.carrying, "contains", None))
 
+    from minigrid_tpu.core.grid_ops import pack_np
+
     return EnvState(
-        grid=jnp.asarray(grid),
-        box_contains=jnp.asarray(box_contains),
+        grid=jnp.asarray(pack_np(grid)),
+        box_contains=jnp.asarray(pack_np(box_contains)),
         agent_pos=jnp.asarray(np.asarray(ref_env.agent_pos), dtype=jnp.int32),
         agent_dir=jnp.asarray(ref_env.agent_dir, dtype=jnp.int32),
         carrying=jnp.asarray(carrying),
@@ -59,9 +61,11 @@ def from_reference(ref_env, rng=None) -> EnvState:
 
 def state_equals_reference(state: EnvState, ref_env) -> bool:
     """Full world-state comparison (grid triples + agent pose + carrying)."""
+    from minigrid_tpu.core.grid_ops import unpack_np
+
     ref_grid = np.asarray(ref_env.grid.encode(), dtype=np.uint8)
     return (
-        np.array_equal(np.asarray(state.grid), ref_grid)
+        np.array_equal(unpack_np(np.asarray(state.grid)), ref_grid)
         and np.array_equal(np.asarray(state.agent_pos), np.asarray(ref_env.agent_pos))
         and int(state.agent_dir) == int(ref_env.agent_dir)
         and np.array_equal(np.asarray(state.carrying), encode_obj(ref_env.carrying))

@@ -1893,12 +1893,14 @@ def reset_exact(env, seed: int, params=None):
         kw["mission"] = jnp.asarray(payload["mission"])
     if "extra" in payload:
         kw["extra"] = jax.tree_util.tree_map(jnp.asarray, payload["extra"])
+    from minigrid_tpu.core.grid_ops import pack_np
+
     if "box_contains" in payload:
-        kw["box_contains"] = jnp.asarray(payload["box_contains"])
+        kw["box_contains"] = jnp.asarray(pack_np(payload["box_contains"]))
         kw["has_boxes"] = True
     kw.setdefault("has_boxes", False)
     state = base_state(
-        jnp.asarray(g.grid),
+        jnp.asarray(pack_np(g.grid)),
         jnp.asarray(g.agent_pos, jnp.int32),
         jnp.asarray(g.agent_dir, jnp.int32),
         rng=_fold_seed(seed),
@@ -1929,11 +1931,15 @@ def _reset_exact_babyai(env, seed: int, params, gen_mission):
         instr, extra_b = result
     else:
         instr = result
+    from minigrid_tpu.core.grid_ops import pack_np
+
     b = {
-        "grid": jnp.asarray(g.grid),
+        "grid": jnp.asarray(pack_np(g.grid)),
         "agent_pos": jnp.asarray(g.agent_pos, jnp.int32),
         "agent_dir": jnp.asarray(g.agent_dir, jnp.int32),
         **extra_b,
     }
+    if "box_contains" in b:  # host payloads carry triples; the state is packed
+        b["box_contains"] = jnp.asarray(pack_np(np.asarray(b["box_contains"])))
     state = env._finalize(b, instr, _fold_seed(seed), params)
     return env.observation(state, params), state

@@ -210,7 +210,7 @@ class FullyObsWrapper(ObservationWrapper):
              state.agent_dir.astype(jnp.uint8)]
         )
         full = G.put(state.grid, state.agent_pos[0], state.agent_pos[1], agent)
-        return {**obs, "image": full}
+        return {**obs, "image": G.unpack_cells(full)}
 
 
 class SymbolicObsWrapper(ObservationWrapper):
@@ -221,7 +221,7 @@ class SymbolicObsWrapper(ObservationWrapper):
         w, h = params.width, params.height
         xs = jax.lax.broadcasted_iota(jnp.int32, (w, h), 0)
         ys = jax.lax.broadcasted_iota(jnp.int32, (w, h), 1)
-        t = state.grid[..., 0].astype(jnp.int32)
+        t = (state.grid & 0xFF).astype(jnp.int32)
         t = jnp.where(t == C.OBJECT_TO_IDX["empty"], -1, t)
         t = jnp.where((xs == state.agent_pos[0]) & (ys == state.agent_pos[1]),
                       C.OBJECT_TO_IDX["agent"], t)
@@ -288,7 +288,7 @@ class DirectionObsWrapper(ObservationWrapper):
         self.type = type
 
     def transform(self, obs, state, params):
-        is_goal = state.grid[..., 0] == C.OBJECT_TO_IDX["goal"]
+        is_goal = (state.grid & 0xFF) == C.OBJECT_TO_IDX["goal"]
         flat = jnp.argmax(is_goal.reshape(-1))  # first goal, x-major
         gx, gy = flat // params.height, flat % params.height
         slope = (gy - state.agent_pos[1]) / (gx - state.agent_pos[0])
@@ -402,7 +402,7 @@ def _goal_cell(state: EnvState, params: EnvParams) -> jnp.ndarray:
     """(x, y) of the first goal cell, or (-1, -1) when no goal exists — the
     `target_cell` the fork's wrappers assume the env exposes."""
     w, h = params.width, params.height
-    is_goal = state.grid[..., 0] == C.OBJECT_TO_IDX["goal"]
+    is_goal = (state.grid & 0xFF) == C.OBJECT_TO_IDX["goal"]
     flat = is_goal.reshape(-1)
     idx = jnp.argmax(flat)
     found = jnp.any(flat)
@@ -446,7 +446,8 @@ class NoLanguageWrapper(ObservationWrapper):
              jnp.asarray(C.COLOR_TO_IDX["red"], jnp.uint8),
              state.agent_dir.astype(jnp.uint8)]
         )
-        full = G.put(state.grid, state.agent_pos[0], state.agent_pos[1], agent)
+        full = G.unpack_cells(
+            G.put(state.grid, state.agent_pos[0], state.agent_pos[1], agent))
         target = _goal_cell(state, params)
         dir_one_hot = jax.nn.one_hot(state.agent_dir, 4, dtype=jnp.float32)
         robot = jnp.concatenate(

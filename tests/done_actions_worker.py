@@ -26,7 +26,9 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-import numpy as np  # noqa: E402
+import numpy as np
+
+from minigrid_tpu.core.grid_ops import unpack_np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
@@ -100,7 +102,7 @@ def main() -> None:
         ref = ref_cls()
         ref.reset(seed=7)
         state = lower(ref)
-        g = np.asarray(state.grid)
+        g = unpack_np(np.asarray(state.grid))
         tgt = np.argwhere((g[..., 0] == target_type)
                           & (g[..., 1] == C.COLOR_TO_IDX["red"]))[0]
         acts = nav_actions(g, np.asarray(state.agent_pos),
@@ -175,7 +177,7 @@ def main() -> None:
     #    not FAILURE) / toggle / done -> SUCCESS with shaped reward
     ref = ref_with_and(11)
     state = lower_and(ref)
-    g = np.asarray(from_reference(ref).grid)
+    g = unpack_np(np.asarray(from_reference(ref).grid))
     door = np.argwhere((g[..., 0] == C.OBJECT_TO_IDX["door"])
                        & (g[..., 1] == C.COLOR_TO_IDX["red"]))[0]
     acts = nav_actions(g, ref.agent_pos, int(ref.agent_dir), door)

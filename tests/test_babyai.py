@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 import minigrid_tpu
+from minigrid_tpu.core.grid_ops import unpack_np
 from minigrid_tpu.babyai import verifier as V
 from minigrid_tpu.core import constants as C
 from tests.conftest import requires_reference
@@ -57,7 +58,7 @@ def test_goto_scripted_success():
     env = minigrid_tpu.make("BabyAI-GoToRedBall-v0")
     params = env.default_params
     _, state = env.reset(jax.random.PRNGKey(0), params)
-    g = np.asarray(state.grid)
+    g = unpack_np(np.asarray(state.grid))
     target = np.argwhere((g[..., 0] == T["ball"])
                          & (g[..., 1] == C.COLOR_TO_IDX["red"]))[0]
     acts = nav_actions(g, np.asarray(state.agent_pos), int(state.agent_dir),
@@ -71,7 +72,7 @@ def test_pickup_scripted_success():
     env = minigrid_tpu.make("BabyAI-OneRoomS8-v0")
     params = env.default_params
     _, state = env.reset(jax.random.PRNGKey(1), params)
-    g = np.asarray(state.grid)
+    g = unpack_np(np.asarray(state.grid))
     target = np.argwhere(g[..., 0] == T["ball"])[0]
     acts = nav_actions(g, np.asarray(state.agent_pos), int(state.agent_dir),
                        target)
@@ -83,7 +84,7 @@ def test_goto_wrong_object_no_success():
     env = minigrid_tpu.make("BabyAI-GoToRedBall-v0")
     params = env.default_params
     _, state = env.reset(jax.random.PRNGKey(0), params)
-    g = np.asarray(state.grid)
+    g = unpack_np(np.asarray(state.grid))
     # find some non-red-ball object
     others = np.argwhere(
         np.isin(g[..., 0], [T["ball"], T["box"], T["key"]])
@@ -108,7 +109,7 @@ def test_open_two_doors_order():
     mission = np.asarray(state.mission)
     c1 = mission[7 + 1]  # d1[0] color
     c2 = mission[7 + 2 * 3 + 1]  # d1[2] color (operand b clause)
-    g = np.asarray(state.grid)
+    g = unpack_np(np.asarray(state.grid))
     doors = {int(g[x, y, 1]): (x, y) for x, y in np.argwhere(g[..., 0] == T["door"])}
     d1_pos, d2_pos = doors[int(c1)], doors[int(c2)]
 
@@ -120,12 +121,12 @@ def test_open_two_doors_order():
 
     # now open door1 then door2 (door2 is currently open; close it first? the
     # instruction only requires door2 open AFTER door1 — reopen sequence)
-    g2 = np.asarray(state2.grid)
+    g2 = unpack_np(np.asarray(state2.grid))
     acts1 = nav_actions(g2, np.asarray(state2.agent_pos),
                         int(state2.agent_dir), d1_pos)
     state3, r, te, tr = drive(env, state2, params, acts1 + [TOGGLE])
     assert not te
-    g3 = np.asarray(state3.grid)
+    g3 = unpack_np(np.asarray(state3.grid))
     acts2 = nav_actions(g3, np.asarray(state3.agent_pos),
                         int(state3.agent_dir), d2_pos)
     # door2 is open; toggling closes it, then toggle again opens -> success
@@ -138,7 +139,7 @@ def test_putnext_scripted():
     params = env.default_params
     _, state = env.reset(jax.random.PRNGKey(2), params)
     mission = np.asarray(state.mission)
-    g = np.asarray(state.grid)
+    g = unpack_np(np.asarray(state.grid))
     # move object = d1[0]; fixed = d2[0]
     mt, mc = mission[7], mission[8]
     ft, fc = mission[19], mission[20]
@@ -150,7 +151,7 @@ def test_putnext_scripted():
     state, r, te, tr = drive(env, state, params, acts + [PICKUP])
     assert not te
     # navigate to a cell adjacent to fixed object and drop
-    g2 = np.asarray(state.grid)
+    g2 = unpack_np(np.asarray(state.grid))
     w, h, _ = g2.shape
     for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
         cell = (fx[0] + dx, fx[1] + dy)
@@ -187,7 +188,7 @@ def test_putnext_relocated_fixed_object():
     type_map = {1: T["box"], 2: T["ball"], 3: T["key"]}
     mt, mc = int(mission[7]), int(mission[8])
     ft, fc = int(mission[19]), int(mission[20])
-    g = np.asarray(state.grid)
+    g = unpack_np(np.asarray(state.grid))
     w, h, _ = g.shape
     fx = np.argwhere((g[..., 0] == type_map[ft]) & (g[..., 1] == fc))[0]
 
@@ -199,7 +200,7 @@ def test_putnext_relocated_fixed_object():
 
     # 2. relocate it: drop at an empty cell far (L1 >= 4) from its old cell,
     # so no cell adjacent to the new position is adjacent to the old one
-    g2 = np.asarray(state.grid)
+    g2 = unpack_np(np.asarray(state.grid))
     new_pos = None
     for cell in np.argwhere(g2[..., 0] == T["empty"]):
         if abs(cell[0] - fx[0]) + abs(cell[1] - fx[1]) < 4:
@@ -213,7 +214,7 @@ def test_putnext_relocated_fixed_object():
     assert new_pos is not None and not te
 
     # 3. pick up the MOVE object
-    g3 = np.asarray(state.grid)
+    g3 = unpack_np(np.asarray(state.grid))
     mv = np.argwhere((g3[..., 0] == type_map[mt]) & (g3[..., 1] == mc))[0]
     acts3 = nav_actions(g3, np.asarray(state.agent_pos), int(state.agent_dir),
                         mv)
@@ -222,7 +223,7 @@ def test_putnext_relocated_fixed_object():
     assert not te
 
     # 4. drop it 4-adjacent to the fixed object's NEW position -> success
-    g4 = np.asarray(state.grid)
+    g4 = unpack_np(np.asarray(state.grid))
     done = False
     for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
         cell = (new_pos[0] + dx, new_pos[1] + dy)
@@ -257,7 +258,7 @@ def test_goto_stale_position_quirk():
     env = minigrid_tpu.make("BabyAI-GoToRedBallNoDists-v0")
     params = env.default_params
     _, state = env.reset(jax.random.PRNGKey(0), params)
-    g = np.asarray(state.grid)
+    g = unpack_np(np.asarray(state.grid))
     target = np.argwhere((g[..., 0] == T["ball"])
                          & (g[..., 1] == C.COLOR_TO_IDX["red"]))[0]
 
@@ -292,7 +293,7 @@ def test_goto_stale_position_quirk():
     assert bool(te) and float(r) > 0, (float(r), bool(te))
     # Sanity: pickup removed the only red ball from the grid, so clause B's
     # success can only have come from the stale tracked position.
-    g_end = np.asarray(state.grid)
+    g_end = unpack_np(np.asarray(state.grid))
     assert ((g_end[..., 0] == T["ball"])
             & (g_end[..., 1] == C.COLOR_TO_IDX["red"])).sum() == 0
     assert int(state.carrying[0]) == T["ball"]

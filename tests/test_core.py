@@ -73,7 +73,8 @@ def test_reward_range():
 def test_process_vis_open_room():
     """In an open room every view cell behind the agent row is visible."""
     v = 7
-    cells = jnp.broadcast_to(jnp.asarray(C.EMPTY_TRIPLE), (v, v, 3))
+    cells = G.pack_cells(jnp.broadcast_to(jnp.asarray(C.EMPTY_TRIPLE),
+                                           (v, v, 3)))
     mask = process_vis(cells, v)
     assert bool(jnp.all(mask))
 
@@ -81,8 +82,9 @@ def test_process_vis_open_room():
 def test_process_vis_wall_blocks():
     """A full wall row in front of the agent hides everything beyond it."""
     v = 7
-    cells = jnp.broadcast_to(jnp.asarray(C.EMPTY_TRIPLE), (v, v, 3))
-    cells = cells.at[:, 3, :].set(jnp.asarray(C.WALL_TRIPLE))
+    cells = G.pack_cells(jnp.broadcast_to(jnp.asarray(C.EMPTY_TRIPLE),
+                                           (v, v, 3)))
+    cells = cells.at[:, 3].set(G.pack_cells(jnp.asarray(C.WALL_TRIPLE)))
     mask = np.asarray(process_vis(cells, v))
     assert mask[:, 3].any()  # the wall itself is visible
     assert not mask[:, :3].any()  # nothing beyond it
@@ -102,7 +104,7 @@ def test_door_key_fsm():
     state = base_state(grid, jnp.array([2, 2]), jnp.asarray(3), jax.random.PRNGKey(0))
 
     _, s2, _, _, _, _ = env.step(state, jnp.int32(Actions.toggle), params)
-    assert int(s2.grid[2, 1, 2]) == C.STATE_TO_IDX["locked"]  # still locked
+    assert int(s2.grid[2, 1] >> 16) == C.STATE_TO_IDX["locked"]  # still locked
 
     # turn around, pick up key, turn back, toggle
     s = state
@@ -110,7 +112,7 @@ def test_door_key_fsm():
               Actions.right, Actions.toggle]:
         _, s, _, _, _, _ = env.step(s, jnp.int32(a), params)
     assert int(s.carrying[0]) == C.OBJECT_TO_IDX["key"]
-    assert int(s.grid[2, 1, 2]) == C.STATE_TO_IDX["open"]
+    assert int(s.grid[2, 1] >> 16) == C.STATE_TO_IDX["open"]
 
 
 def test_box_reveal_and_carry():
@@ -122,12 +124,13 @@ def test_box_reveal_and_carry():
     key_t = jnp.array([C.OBJECT_TO_IDX["key"], C.COLOR_TO_IDX["red"], 0], jnp.uint8)
     grid = G.put(grid, 2, 1, box)
     state = base_state(grid, jnp.array([2, 2]), jnp.asarray(3), jax.random.PRNGKey(0))
-    state = state.replace(box_contains=state.box_contains.at[2, 1].set(key_t))
+    state = state.replace(
+        box_contains=state.box_contains.at[2, 1].set(G.pack_cells(key_t)))
 
     # Toggle: box replaced by its key.
     _, s, _, _, _, _ = env.step(state, jnp.int32(Actions.toggle), params)
-    assert int(s.grid[2, 1, 0]) == C.OBJECT_TO_IDX["key"]
-    assert int(s.grid[2, 1, 1]) == C.COLOR_TO_IDX["red"]
+    assert int(s.grid[2, 1] & 0xFF) == C.OBJECT_TO_IDX["key"]
+    assert int((s.grid[2, 1] >> 8) & 0xFF) == C.COLOR_TO_IDX["red"]
 
     # Pickup box, move, drop: contents follow.
     _, s, _, _, _, _ = env.step(state, jnp.int32(Actions.pickup), params)
@@ -135,11 +138,11 @@ def test_box_reveal_and_carry():
     assert int(s.carrying_contains[0]) == C.OBJECT_TO_IDX["key"]
     for a in [Actions.right, Actions.right, Actions.drop]:
         _, s, _, _, _, _ = env.step(s, jnp.int32(a), params)
-    assert int(s.grid[2, 3, 0]) == C.OBJECT_TO_IDX["box"]
-    assert int(s.box_contains[2, 3, 0]) == C.OBJECT_TO_IDX["key"]
+    assert int(s.grid[2, 3] & 0xFF) == C.OBJECT_TO_IDX["box"]
+    assert int(s.box_contains[2, 3] & 0xFF) == C.OBJECT_TO_IDX["key"]
     # Toggle the dropped box: the key reappears.
     _, s, _, _, _, _ = env.step(s, jnp.int32(Actions.toggle), params)
-    assert int(s.grid[2, 3, 0]) == C.OBJECT_TO_IDX["key"]
+    assert int(s.grid[2, 3] & 0xFF) == C.OBJECT_TO_IDX["key"]
 
 
 def test_obs_carrying_overlay():
@@ -172,7 +175,7 @@ def test_gather_impls_agree_all_dirs_all_poses():
 
     rng = np.random.default_rng(0)
     w, h, v = 9, 6, 7
-    grid = jnp.asarray(
+    grid = jnp.asarray(G.pack_np(
         np.stack(
             [
                 rng.integers(0, 34, (w, h)),
@@ -181,7 +184,7 @@ def test_gather_impls_agree_all_dirs_all_poses():
             ],
             axis=-1,
         ).astype(np.uint8)
-    )
+    ))
 
     def batched(fn):
         return jax.jit(

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 import minigrid_tpu
+from minigrid_tpu.core.grid_ops import unpack_np
 from minigrid_tpu.core import constants as C
 from tests.conftest import requires_reference
 
@@ -88,7 +89,7 @@ def tpu_samples(env_id_or_env, extract, n: int, batch: int = 250):
         keys = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(99), i),
                                 min(batch, n - i))
         obs, state = reset(keys)
-        grids = np.asarray(state.grid)
+        grids = unpack_np(np.asarray(state.grid))
         poss = np.asarray(state.agent_pos)
         dirs = np.asarray(state.agent_dir)
         for j in range(grids.shape[0]):
@@ -430,15 +431,19 @@ def compare_vs_exact(env_id, extract_keys, n=1500, exact_n=None):
         chi2_same([s[k] for s in a], [s[k] for s in b], f"{env_id}:{k}")
 
 
+def _g3(s):
+    return unpack_np(s.grid)
+
+
 def _cells(s, t):
-    return np.argwhere(s.grid[..., 0] == T[t])
+    return np.argwhere(_g3(s)[..., 0] == T[t])
 
 
 def _typed_multiset(s, types=("key", "ball", "box")):
     out = []
     for t in types:
         for x, y in _cells(s, t):
-            out.append((t, int(s.grid[x, y, 1]), int(x), int(y)))
+            out.append((t, int(_g3(s)[x, y, 1]), int(x), int(y)))
     return tuple(sorted(out))
 
 
@@ -452,7 +457,7 @@ def _dir(s, m, e):
 
 def _doors(s, m, e):
     return tuple(sorted(
-        (int(x), int(y), int(s.grid[x, y, 1]), int(s.grid[x, y, 2]))
+        (int(x), int(y), int(_g3(s)[x, y, 1]), int(_g3(s)[x, y, 2]))
         for x, y in _cells(s, "door")))
 
 
@@ -465,12 +470,12 @@ def test_redbluedoors_distribution():
 
     def red_y(s, m, e):
         d = [p for p in _cells(s, "door")
-             if s.grid[p[0], p[1], 1] == C.COLOR_TO_IDX["red"]][0]
+             if _g3(s)[p[0], p[1], 1] == C.COLOR_TO_IDX["red"]][0]
         return (int(d[0]), int(d[1]))
 
     def blue_y(s, m, e):
         d = [p for p in _cells(s, "door")
-             if s.grid[p[0], p[1], 1] == C.COLOR_TO_IDX["blue"]][0]
+             if _g3(s)[p[0], p[1], 1] == C.COLOR_TO_IDX["blue"]][0]
         return (int(d[0]), int(d[1]))
 
     compare_vs_exact(
@@ -496,7 +501,7 @@ def test_memory_random_length_distribution():
 
     def hallway_len(s, m, e):
         # rightmost non-wall column in the center row marks the hallway end
-        row = s.grid[:, s.grid.shape[1] // 2, 0]
+        row = _g3(s)[:, s.grid.shape[1] // 2, 0]
         return int(np.max(np.nonzero(row != T["wall"])[0]))
 
     def layout(s, m, e):
@@ -514,12 +519,12 @@ def test_lockedroom_distribution():
 
     def locked_door(s, m, e):
         d = [p for p in _cells(s, "door")
-             if s.grid[p[0], p[1], 2] == C.STATE_TO_IDX["locked"]][0]
-        return (int(d[0]), int(d[1]), int(s.grid[d[0], d[1], 1]))
+             if _g3(s)[p[0], p[1], 2] == C.STATE_TO_IDX["locked"]][0]
+        return (int(d[0]), int(d[1]), int(_g3(s)[d[0], d[1], 1]))
 
     def key(s, m, e):
         k = _cells(s, "key")[0]
-        return (int(k[0]), int(k[1]), int(s.grid[k[0], k[1], 1]))
+        return (int(k[0]), int(k[1]), int(_g3(s)[k[0], k[1], 1]))
 
     def goal(s, m, e):
         g = _cells(s, "goal")[0]
@@ -539,11 +544,11 @@ def test_obstructedmaze_1dlhb_distribution():
 
     def hidden_key(s, m, e):
         b = _cells(s, "box")[0]
-        c = s.box_contains[b[0], b[1]]
+        c = unpack_np(s.box_contains)[b[0], b[1]]
         return (int(b[0]), int(b[1]), int(c[0]), int(c[1]))
 
     def balls(s, m, e):
-        return tuple(sorted((int(x), int(y), int(s.grid[x, y, 1]))
+        return tuple(sorted((int(x), int(y), int(_g3(s)[x, y, 1]))
                             for x, y in _cells(s, "ball")))
 
     compare_vs_exact(
@@ -611,7 +616,7 @@ def test_babyai_unlock_distribution():
 
     def key(s, m, e):
         ks = _cells(s, "key")
-        return tuple(sorted((int(x), int(y), int(s.grid[x, y, 1]))
+        return tuple(sorted((int(x), int(y), int(_g3(s)[x, y, 1]))
                             for x, y in ks))
 
     compare_vs_exact(

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 import minigrid_tpu
+from minigrid_tpu.core.grid_ops import unpack_np
 from minigrid_tpu.core import constants as C
 
 T = C.OBJECT_TO_IDX
@@ -65,7 +66,7 @@ def test_crossing_always_solvable(eid):
     reset = jax.jit(lambda k: env.reset(k, params)[1])
     for seed in range(20):
         state = reset(jax.random.PRNGKey(seed))
-        g = np.asarray(state.grid)
+        g = unpack_np(np.asarray(state.grid))
         goal = np.argwhere(g[..., 0] == T["goal"])[0]
         assert reachable(g, np.asarray(state.agent_pos), goal), f"seed {seed}"
 
@@ -81,7 +82,7 @@ def test_crossing_river_count():
     params = env.default_params
     for seed in range(10):
         _, state = env.reset(jax.random.PRNGKey(seed), params)
-        g = np.asarray(state.grid)
+        g = unpack_np(np.asarray(state.grid))
         lava = g[..., 0] == T["lava"]
         candidates = range(2, size - 2, 2)
         river_cols = [x for x in candidates
@@ -103,7 +104,7 @@ def test_lavagap_solvable_and_shaped():
     params = env.default_params
     for seed in range(20):
         _, state = env.reset(jax.random.PRNGKey(seed), params)
-        g = np.asarray(state.grid)
+        g = unpack_np(np.asarray(state.grid))
         lava_cols = np.unique(np.nonzero(g[..., 0] == T["lava"])[0])
         assert len(lava_cols) == 1  # one vertical strip
         col = g[lava_cols[0], :, 0]
@@ -116,7 +117,7 @@ def test_fourrooms_structure():
     params = env.default_params
     for seed in range(10):
         _, state = env.reset(jax.random.PRNGKey(seed), params)
-        g = np.asarray(state.grid)
+        g = unpack_np(np.asarray(state.grid))
         goal = np.argwhere(g[..., 0] == T["goal"])
         assert len(goal) == 1
         # exactly 4 gaps in the internal walls
@@ -131,7 +132,7 @@ def test_distshift_layout():
     env = minigrid_tpu.make("MiniGrid-DistShift2-v0")
     params = env.default_params
     _, state = env.reset(jax.random.PRNGKey(0), params)
-    g = np.asarray(state.grid)
+    g = unpack_np(np.asarray(state.grid))
     assert g[7, 1, 0] == T["goal"]
     assert all(g[3 + i, 1, 0] in (T["lava"], T["goal"]) for i in range(3))
     assert all(g[3 + i, 5, 0] == T["lava"] for i in range(3))
@@ -147,7 +148,7 @@ class TestDynamicObstacles:
         step = jax.jit(lambda s, a: self.env.step(s, a, self.params))
         for t in range(30):
             _, state, r, term, trunc, _ = step(state, jnp.int32(t % 3))
-            g = np.asarray(state.grid)
+            g = unpack_np(np.asarray(state.grid))
             assert (g[..., 0] == T["ball"]).sum() == self.env.n_obstacles
             if bool(term):
                 break
@@ -203,7 +204,7 @@ def test_custom_env_example():
         # generation invariants: lava curtain with exactly one gap, ball on
         # the far side
         _, state = env.reset(jax.random.PRNGKey(2), env.default_params)
-        g = np.asarray(state.grid)
+        g = unpack_np(np.asarray(state.grid))
         mid = g.shape[0] // 2
         lava = C.OBJECT_TO_IDX["lava"]
         assert (g[mid, 1:-1, 0] == lava).sum() == g.shape[1] - 3

@@ -17,6 +17,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from minigrid_tpu.core.grid_ops import unpack_np
 from minigrid_tpu.utils.exact import reset_exact, supported
 from tests.conftest import requires_reference
 
@@ -174,7 +175,7 @@ def test_exact_reset_matches_reference(case, seed):
     obs_ref, _ = ref.reset(seed=seed)
     obs, state = reset_exact(env, seed)
     np.testing.assert_array_equal(
-        np.asarray(ref.grid.encode(), np.uint8), np.asarray(state.grid)
+        np.asarray(ref.grid.encode(), np.uint8), unpack_np(np.asarray(state.grid))
     )
     assert tuple(np.asarray(state.agent_pos)) == tuple(ref.agent_pos)
     assert int(state.agent_dir) == ref.agent_dir
@@ -246,7 +247,7 @@ def test_exact_negated(seed):
     obs_ref, _ = ref.reset(seed=seed)
     obs, state = reset_exact(env, seed)
     np.testing.assert_array_equal(
-        np.asarray(ref.grid.encode(), np.uint8), np.asarray(state.grid))
+        np.asarray(ref.grid.encode(), np.uint8), unpack_np(np.asarray(state.grid)))
     assert tuple(np.asarray(state.agent_pos)) == tuple(ref.agent_pos)
     assert int(state.agent_dir) == ref.agent_dir
     np.testing.assert_array_equal(obs_ref["image"], np.asarray(obs["image"]))
@@ -278,7 +279,7 @@ def test_exact_obstructed_playground(case, seed):
     obs_ref, _ = ref.reset(seed=seed)
     obs, state = reset_exact(env, seed)
     np.testing.assert_array_equal(
-        np.asarray(ref.grid.encode(), np.uint8), np.asarray(state.grid))
+        np.asarray(ref.grid.encode(), np.uint8), unpack_np(np.asarray(state.grid)))
     assert tuple(np.asarray(state.agent_pos)) == tuple(ref.agent_pos)
     assert int(state.agent_dir) == ref.agent_dir
     np.testing.assert_array_equal(obs_ref["image"], np.asarray(obs["image"]))
@@ -288,7 +289,7 @@ def test_exact_obstructed_playground(case, seed):
             for j in range(ref.grid.height):
                 c = ref.grid.get(i, j)
                 if c is not None and c.type == "box" and c.contains:
-                    bc = np.asarray(state.box_contains)[i, j]
+                    bc = unpack_np(np.asarray(state.box_contains))[i, j]
                     assert bc[0] == OI[c.contains.type]
 
 

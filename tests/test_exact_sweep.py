@@ -15,6 +15,8 @@ import contextlib
 import io
 
 import numpy as np
+
+from minigrid_tpu.core.grid_ops import unpack_np
 import pytest
 
 from minigrid_tpu.utils.exact import reset_exact, supported
@@ -101,7 +103,8 @@ def test_exact_sweep(env_id):
             obs_ref = ref.gen_obs()
         obs, state = reset_exact(env, seed)
         np.testing.assert_array_equal(
-            np.asarray(ref.grid.encode(), np.uint8), np.asarray(state.grid),
+            np.asarray(ref.grid.encode(), np.uint8),
+            unpack_np(np.asarray(state.grid)),
             err_msg=f"{env_id} seed {seed}")
         assert tuple(np.asarray(state.agent_pos)) == tuple(ref.agent_pos), (
             env_id, seed)

@@ -59,7 +59,7 @@ def test_fused_regeneration_layouts_valid():
     for _ in range(12):
         _, fs, _, _, tr, _ = fv.step(fs, jnp.full((n,), 6, jnp.int32))
     states = fv.to_env_states(fs)
-    typ = np.asarray(states.grid[..., 0])
+    typ = np.asarray(states.grid & 0xFF)
     for i in range(n):
         g = typ[i]
         assert (g[:, 0] == C.OBJECT_TO_IDX["wall"]).all()

@@ -28,7 +28,9 @@ def pallas_interpret(monkeypatch):
 
 
 def _random_grid(rng, w, h):
-    return jnp.asarray(
+    from minigrid_tpu.core.grid_ops import pack_np
+
+    return jnp.asarray(pack_np(
         np.stack(
             [
                 rng.integers(0, 34, (w, h)),
@@ -37,7 +39,7 @@ def _random_grid(rng, w, h):
             ],
             axis=-1,
         ).astype(np.uint8)
-    )
+    ))
 
 
 @pytest.mark.parametrize("w,h,v", [(8, 8, 7), (9, 6, 7), (9, 5, 7), (6, 9, 5)])
@@ -57,8 +59,8 @@ def test_gather_view_pallas_all_dirs_all_poses(pallas_interpret, w, h, v):
     dirs = jnp.asarray([d for _, _, d in combos], dtype=jnp.int32)
     grids = jnp.broadcast_to(grid[None], (len(combos),) + grid.shape)
     ref = jax.vmap(lambda p, d: gather_view_gather(grid, p, d, v))(pos, dirs)
-    got = obs_pallas.gather_view_pallas(grids, pos, dirs, v)
-    assert np.array_equal(np.asarray(ref), np.asarray(got))
+    got = obs_pallas.gather_view_pallas_packed(grids, pos, dirs, v)
+    assert np.array_equal(np.asarray(ref), np.asarray(got))  # both packed u32
 
 
 @pytest.mark.parametrize(

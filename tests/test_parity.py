@@ -521,6 +521,7 @@ def test_blocks_gripper_move_parity(seed):
 
     import minigrid_tpu
     from minigrid_tpu.core import constants as C
+    from minigrid_tpu.core.grid_ops import unpack_np
 
     env = minigrid_tpu.make("BlocksDataset-v0", max_actions=4)
     params = env.default_params
@@ -542,7 +543,7 @@ def test_blocks_gripper_move_parity(seed):
     ref.is_grabbing_block = False
     ref.curr_gripper_pos = (0, 0)
     np.testing.assert_array_equal(np.asarray(ref.grid.encode()),
-                                  np.asarray(state.grid))
+                                  unpack_np(np.asarray(state.grid)))
 
     step = jax.jit(lambda s, a: env.step(s, a, params))
     for t in range(4):
@@ -557,7 +558,7 @@ def test_blocks_gripper_move_parity(seed):
         for a in [tuple(start_pos), "grab", (end_col, end_row), "letgo"]:
             ref.base_step(a)
         np.testing.assert_array_equal(np.asarray(ref.grid.encode()),
-                                      np.asarray(state.grid),
+                                      unpack_np(np.asarray(state.grid)),
                                       err_msg=f"seed {seed} move {t}")
         if bool(te):
             break

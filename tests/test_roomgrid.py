@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 import minigrid_tpu
+from minigrid_tpu.core.grid_ops import unpack_np
 from minigrid_tpu.core import constants as C
 
 T = C.OBJECT_TO_IDX
@@ -82,13 +83,15 @@ def test_roomgrid_envs_solvable(eid, n_seeds):
     reset = jax.jit(lambda k: env.reset(k, params)[1])
     for seed in range(n_seeds):
         state = reset(jax.random.PRNGKey(seed))
-        g = np.asarray(state.grid)
+        g = unpack_np(np.asarray(state.grid))
         if "ObstructedMaze" in eid:
             tmask = (g[..., 0] == T["ball"]) & (g[..., 1] == C.COLOR_TO_IDX["blue"])
         else:
             tmask = None
+        bc = (unpack_np(np.asarray(state.box_contains))
+              if state.box_contains is not None else None)
         assert solvable(
-            g, np.asarray(state.box_contains), np.asarray(state.agent_pos),
+            g, bc, np.asarray(state.agent_pos),
             target_mask=tmask,
         ), f"{eid} seed {seed} unsolvable"
 
@@ -98,7 +101,7 @@ def test_keycorridor_structure():
     params = env.default_params
     for seed in range(5):
         _, state = env.reset(jax.random.PRNGKey(seed), params)
-        g = np.asarray(state.grid)
+        g = unpack_np(np.asarray(state.grid))
         # exactly one locked door, with a matching-color key somewhere
         locked = np.argwhere((g[..., 0] == T["door"]) & (g[..., 2] == 2))
         assert len(locked) == 1
@@ -114,8 +117,8 @@ def test_obstructedmaze_full_structure():
     env = minigrid_tpu.make("MiniGrid-ObstructedMaze-Full-v0")
     params = env.default_params
     _, state = env.reset(jax.random.PRNGKey(0), params)
-    g = np.asarray(state.grid)
-    bc = np.asarray(state.box_contains)
+    g = unpack_np(np.asarray(state.grid))
+    bc = unpack_np(np.asarray(state.box_contains))
     locked = ((g[..., 0] == T["door"]) & (g[..., 2] == 2)).sum()
     boxes_with_keys = ((g[..., 0] == T["box"]) & (bc[..., 0] == T["key"])).sum()
     blue_balls = ((g[..., 0] == T["ball"])
@@ -137,7 +140,7 @@ def test_unlock_solvable_scripted():
     step = jax.jit(lambda s, a: env.step(s, a, params))
     for seed in range(3):
         _, state = env.reset(jax.random.PRNGKey(seed), params)
-        g = np.asarray(state.grid)
+        g = unpack_np(np.asarray(state.grid))
         key_pos = np.argwhere(g[..., 0] == T["key"])[0]
         door_pos = np.argwhere(g[..., 0] == T["door"])[0]
 
@@ -148,7 +151,7 @@ def test_unlock_solvable_scripted():
         assert not te and not tr
         assert int(state.carrying[0]) == T["key"]
 
-        g2 = np.asarray(state.grid)
+        g2 = unpack_np(np.asarray(state.grid))
         acts2 = nav_actions(g2, np.asarray(state.agent_pos),
                             int(state.agent_dir), door_pos)
         assert acts2 is not None, f"seed {seed}: door unreachable"
@@ -164,6 +167,6 @@ def test_multiroom_room_count():
     params = env.default_params
     for seed in range(5):
         _, state = env.reset(jax.random.PRNGKey(seed), params)
-        g = np.asarray(state.grid)
+        g = unpack_np(np.asarray(state.grid))
         assert (g[..., 0] == T["door"]).sum() == 1  # N2 -> one connecting door
         assert (g[..., 0] == T["goal"]).sum() == 1

@@ -154,6 +154,72 @@ def test_two_process_distributed_checkpoint(tmp_path):
         assert f"DIST-OK {i}" in out, f"proc {i} output:\n{out}"
 
 
+def test_two_process_ppo_update(tmp_path):
+    """A REAL 2-process jax.distributed PPO update over the dp=8 pod mesh
+    (BASELINE config[4]: N>=2 hosts feeding one dp-sharded learner) —
+    both processes must compute identical metrics (one SPMD program, one
+    gradient psum), and those metrics must match the single-process run of
+    the same config on the local 8-device farm."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = "/root/repo"
+    worker = os.path.join(os.path.dirname(__file__),
+                          "distributed_ppo_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    metrics = {}
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"PPO-OK {i}" in out, f"proc {i} output:\n{out}"
+        for line in out.splitlines():
+            if line.startswith(f"PPO-METRICS {i} "):
+                metrics[i] = line.split()[2:]
+    assert set(metrics) == {0, 1}
+    # identical across processes: same SPMD program, same collectives
+    assert metrics[0] == metrics[1], (metrics[0], metrics[1])
+
+    # and equal to the single-process execution of the same config
+    import minigrid_tpu
+    from minigrid_tpu.parallel.multihost import pod_mesh
+    from minigrid_tpu.rl import PPOConfig
+    from minigrid_tpu.rl.ppo import train_step_fn
+
+    mesh = pod_mesh(tp=1, devices=jax.devices()[:8])
+    env1 = minigrid_tpu.make("MiniGrid-Empty-5x5-v0")
+    cfg = PPOConfig(num_envs=8, num_steps=8, num_updates=1,
+                    num_minibatches=2, update_epochs=1)
+    fn, runner = train_step_fn(env1, env1.default_params, cfg, mesh=mesh)
+    _, m1 = jax.jit(fn)(runner)
+    got = [float(metrics[0][0]), float(metrics[0][1]), float(metrics[0][2])]
+    want = [float(m1["loss"]), float(m1["entropy"]),
+            float(m1["mean_return"])]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert int(metrics[0][3]) == int(m1["episodes"])
+
+
 def test_pod_mesh_ppo_on_device_farm():
     """multihost.pod_mesh over the virtual farm drives a full PPO update
     (the single-process degradation of the pod path)."""

@@ -8,6 +8,7 @@ import jax
 import jax.numpy as jnp
 
 import minigrid_tpu
+from minigrid_tpu.core.grid_ops import unpack_np
 from minigrid_tpu.parallel.vector import VectorEnv, rollout
 
 
@@ -102,7 +103,7 @@ def test_pooled_autoreset_semantics():
     assert bool(jnp.all(state.envs.step_count == 0))  # fresh episodes
     from minigrid_tpu.core import constants as C
 
-    g = np.asarray(state.envs.grid)
+    g = unpack_np(np.asarray(state.envs.grid))
     # every fresh level is a real KeyCorridor: has a locked door and a key
     locked = ((g[..., 0] == C.OBJECT_TO_IDX["door"])
               & (g[..., 2] == C.STATE_TO_IDX["locked"]))
@@ -126,7 +127,7 @@ def test_pooled_underflow_fallback_strict():
         obs, state, reward, term, trunc, info = venv.step(state, stay)
     assert bool(jnp.all(trunc))
     assert bool(jnp.all(state.envs.step_count == 0))
-    grids = np.asarray(state.envs.grid)
+    grids = unpack_np(np.asarray(state.envs.grid))
     assert not all(np.array_equal(grids[0], grids[i]) for i in range(1, 8))
 
 
@@ -149,14 +150,14 @@ def test_pooled_stale_replay_best_effort():
             obs, state, reward, term, trunc, info = venv.step(state, stay)
         # snapshot immediately before the truncating step: consume reads the
         # pre-refill pool, so this is exactly what a stale env will replay
-        lo_before = np.asarray(state.pool.grid[:8])
+        lo_before = unpack_np(np.asarray(state.pool.grid[:8]))
         fresh_before = np.asarray(state.fresh)
         obs, state, reward, term, trunc, info = venv.step(state, stay)
         assert bool(jnp.all(trunc))
         # every env starts a new, VALID episode (valid KeyCorridor levels
         # always carry a key), even with the pool exhausted
         assert bool(jnp.all(state.envs.step_count == 0))
-        g = np.asarray(state.envs.grid)
+        g = unpack_np(np.asarray(state.envs.grid))
         assert (g[..., 0] == C.OBJECT_TO_IDX["key"]).reshape(8, -1).any(
             axis=1).all()
         # an env whose both slots were unfresh must have replayed its
@@ -224,7 +225,7 @@ def test_rollout_refill_period():
     assert np.array_equal(tr, expect)
     # every env currently sits in a fresh, valid level
     assert bool(jnp.all(state.envs.step_count == 0))
-    g = np.asarray(state.envs.grid)
+    g = unpack_np(np.asarray(state.envs.grid))
     assert (g[..., 0] == C.OBJECT_TO_IDX["key"]).reshape(8, -1).any(
         axis=1).all()
     # the ring advanced in K-window blocks: 24/4 outer refills of 4 slots
@@ -243,7 +244,7 @@ def test_pooled_levels_match_direct_generation_distribution():
     # direct: vmapped reset
     reset = jax.jit(jax.vmap(lambda k: env.reset(k, params)[1]))
     direct = reset(jax.random.split(jax.random.PRNGKey(7), 400))
-    dg = np.asarray(direct.grid)
+    dg = unpack_np(np.asarray(direct.grid))
 
     # pooled: run episodes to truncation repeatedly, harvesting fresh levels
     venv = VectorEnv(env, num_envs=64, reset_strategy="pooled",
@@ -254,7 +255,7 @@ def test_pooled_levels_match_direct_generation_distribution():
     for round_ in range(6):
         for _ in range(int(env.max_steps)):
             obs, state, r, te, tr, _ = venv.step(state, stay)
-        harvested.append(np.asarray(state.envs.grid))
+        harvested.append(unpack_np(np.asarray(state.envs.grid)))
     pg = np.concatenate(harvested)
 
     def key_cell(g):
@@ -294,7 +295,7 @@ def test_pooled_best_effort_refill():
         obs, state, r, te, tr, _ = venv.step(state, a)
         done = np.asarray(te | tr)
         if done.any():
-            g = np.asarray(state.envs.grid)[done]
+            g = unpack_np(np.asarray(state.envs.grid))[done]
             red_ball = ((g[..., 0] == C.OBJECT_TO_IDX["ball"])
                         & (g[..., 1] == C.COLOR_TO_IDX["red"]))
             assert red_ball.reshape(g.shape[0], -1).any(axis=1).all()
@@ -328,7 +329,7 @@ def test_best_effort_refill_distribution():
     # direct: generate() keeps the fueled retry loop -> valid-conditioned
     gen = jax.jit(jax.vmap(lambda k: env.generate(k, params)))
     direct = gen(jax.random.split(jax.random.PRNGKey(11), 400))
-    dg = np.asarray(direct.grid)
+    dg = unpack_np(np.asarray(direct.grid))
 
     # pooled best-effort: harvest levels as episodes turn over
     venv = VectorEnv(env, num_envs=64, reset_strategy="pooled",
@@ -344,7 +345,7 @@ def test_best_effort_refill_distribution():
         obs, state, r, te, tr, _ = venv.step(state, a)
         done = np.asarray(te | tr)
         if done.any():
-            harvested.append(np.asarray(state.envs.grid)[done])
+            harvested.append(unpack_np(np.asarray(state.envs.grid))[done])
     pg = np.concatenate(harvested)
     assert len(pg) >= 200, len(pg)
 
