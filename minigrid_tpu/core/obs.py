@@ -33,7 +33,9 @@ _WALL = np.asarray(C.WALL_TRIPLE)
 # unpacks only at the final encode, because the unpacked uint8[..., 3]
 # layout pads its 3-wide minor dim onto 128-lane vector tiles (measured
 # +23 us/step at batch 4096 just for rotating unpacked — PERF.md round 4).
-_WALL_PACKED = jnp.uint32(
+# np scalar, NOT jnp: a module-level jnp constant would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize() ordering.
+_WALL_PACKED = np.uint32(
     int(C.WALL_TRIPLE[0]) | (int(C.WALL_TRIPLE[1]) << 8)
     | (int(C.WALL_TRIPLE[2]) << 16))
 _EMPTY = np.asarray(C.EMPTY_TRIPLE)

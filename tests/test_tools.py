@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 
 import minigrid_tpu
+from minigrid_tpu.core.grid_ops import unpack_np
 from minigrid_tpu.tools.generate_demos import collect, pack_demos
 from minigrid_tpu.tools.oracle import OracleAgent
 
@@ -39,7 +40,7 @@ def test_oracle_bfs_respects_walls():
     target = np.asarray(state.extra["target_cell"])
     path = agent.action_sequence(state, list(target))
     assert path is not None
-    g = np.asarray(state.grid)
+    g = unpack_np(np.asarray(state.grid))
     for (x, y) in path[:-1]:
         assert g[x, y, 0] != 2  # never walks through walls
 
@@ -73,7 +74,7 @@ def test_blocks_conservation():
     step = jax.jit(lambda s, a: env.step(s, a, params))
     for t in range(int(state.extra["n_actions"])):
         _, state, r, te, tr, _ = step(state, jnp.int32(0))
-    g = np.asarray(state.grid)
+    g = unpack_np(np.asarray(state.grid))
     assert (g[..., 0] == 5).sum() == env.max_blocks  # blocks conserved
     assert bool(te)
     # stacks are gravity-consistent: no block floats above an empty cell
@@ -116,7 +117,9 @@ def test_device_kernel_gate_passes_and_catches_sabotage():
     base.pop("XLA_FLAGS", None)
     base["MINIGRID_TPU_PALLAS_INTERPRET"] = "1"
     base["MINIGRID_TPU_OBS_BATCH"] = "pallas"
-    base["PYTHONPATH"] = "/root/repo"
+    # keep any existing PYTHONPATH entries (e.g. a backend-plugin site dir)
+    base["PYTHONPATH"] = "/root/repo" + (
+        os.pathsep + base["PYTHONPATH"] if base.get("PYTHONPATH") else "")
 
     good = subprocess.run([sys.executable, "-c", code], env=base,
                           capture_output=True, text=True, timeout=300)
