@@ -386,12 +386,28 @@ def gen_obs_batch(states: EnvState, params: EnvParams) -> dict:
     and fuses behind it.  Everywhere else this is exactly
     ``vmap(gen_obs)``.  Bitwise identity between the two paths is asserted
     by tests/test_obs_impls.py."""
+    cells, vis_mask = gen_obs_grid_batch(states, params)
+    return {
+        "image": unpack_cells(jnp.where(vis_mask, cells, jnp.uint32(0))),
+        "direction": states.agent_dir,
+        "mission": states.mission,
+    }
+
+
+def gen_obs_grid_batch(
+    states: EnvState, params: EnvParams
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched ``gen_obs_grid``: (packed cells uint32[B, V, V] incl. the
+    carried-object overlay, vis_mask bool[B, V, V]).  The fused Pallas
+    gather on TPU where applicable, else the vmapped per-env pipeline —
+    used by both the symbolic obs (gen_obs_batch) and the batched RGB POV
+    renderer (ops/render.py::pov_render_batch)."""
     from minigrid_tpu.ops import obs_pallas
 
     num_envs = states.agent_dir.shape[0]
-    if not obs_pallas.pallas_obs_available(num_envs, params):
-        return jax.vmap(lambda s: gen_obs(s, params))(states)
     v = params.agent_view_size
+    if not obs_pallas.pallas_obs_available(num_envs, params):
+        return jax.vmap(lambda s: gen_obs_grid(s, params))(states)
     cells = obs_pallas.gather_view_pallas_packed(
         states.grid, states.agent_pos, states.agent_dir, v
     )  # [B, V, V] rotated, packed
@@ -404,11 +420,7 @@ def gen_obs_batch(states: EnvState, params: EnvParams) -> dict:
     cells = jnp.where(
         agent_cell[None], pack_cells(states.carrying)[:, None, None], cells
     )
-    return {
-        "image": unpack_cells(jnp.where(vis_mask, cells, jnp.uint32(0))),
-        "direction": states.agent_dir,
-        "mission": states.mission,
-    }
+    return cells, vis_mask
 
 
 def gen_obs_batch_sharded(

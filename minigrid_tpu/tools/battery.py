@@ -49,12 +49,15 @@ def run_spec(spec: str) -> dict:
     refill = int(opts["refill"]) if "refill" in opts else None
     obs_mode = opts.get("obs", "symbolic")
     env = minigrid_tpu.make(env_id)
-    if obs_mode == "rgb":
+    if obs_mode in ("rgb", "rgb_chw"):
         # the reference's headline metric is RGB partial-obs step FPS
-        # (minigrid/benchmark.py:30-46); this row is its vectorized analogue
+        # (minigrid/benchmark.py:30-46); this row is its vectorized analogue.
+        # 'rgb' serves the reference HWC layout (whose (H, 3) minor dims pad
+        # ~42x on TPU tiles and bound the row); 'rgb_chw' serves [B, 3, H, W]
         from minigrid_tpu.wrappers import RGBImgPartialObsWrapper
 
-        env = RGBImgPartialObsWrapper(env, tile_size=int(opts.get("tile", 8)))
+        env = RGBImgPartialObsWrapper(env, tile_size=int(opts.get("tile", 8)),
+                                      channels_first=obs_mode == "rgb_chw")
     venv = VectorEnv(env, num_envs, reset_strategy=strategy,
                      pool_refill=refill, strict_refill=strict)
     sps, compile_s, stats = timed_rollout(venv, steps, refill_period=period,

@@ -248,11 +248,18 @@ class RGBImgObsWrapper(ObservationWrapper):
 
 class RGBImgPartialObsWrapper(ObservationWrapper):
     """Partially observable RGB pixel obs (wrappers.py:189-216): the agent's
-    POV rendered at tile_size pixels per cell."""
+    POV rendered at tile_size pixels per cell.
 
-    def __init__(self, env: Env, tile_size: int = 8):
+    ``channels_first=True`` (batched path only) serves uint8[B, 3, H, W]
+    instead of the reference's [B, H, W, 3]: the HWC layout's (H, 3) minor
+    dims pad ~42x onto TPU vector tiles and dominate the render cost at
+    fleet batch sizes (see ops/render.py::pov_render_batch)."""
+
+    def __init__(self, env: Env, tile_size: int = 8,
+                 channels_first: bool = False):
         super().__init__(env)
         self.tile_size = tile_size
+        self.channels_first = channels_first
         from minigrid_tpu.ops.render import get_atlas
 
         self._atlas = get_atlas(tile_size)
@@ -261,6 +268,17 @@ class RGBImgPartialObsWrapper(ObservationWrapper):
         from minigrid_tpu.ops.render import pov_render
 
         return {**obs, "image": pov_render(state, params, self._atlas)}
+
+    def observation_batch(self, states, params):
+        """One flat atlas gather for the whole batch — vmapping the per-env
+        render serializes into B gather programs (~100x slower at B=4096;
+        see ops/render.py::pov_render_batch)."""
+        from minigrid_tpu.ops.render import pov_render_batch
+
+        base = self.env.observation_batch(states, params)
+        return {**base, "image": pov_render_batch(
+            states, params, self._atlas,
+            channels_first=self.channels_first)}
 
 
 class ViewSizeWrapper(Wrapper):

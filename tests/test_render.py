@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 import minigrid_tpu
 from minigrid_tpu.ops.render import get_atlas, get_frame
@@ -89,3 +90,42 @@ def test_rgb_wrapper_under_jit_and_vmap(atlas8):
     assert obs["image"].shape == (4, 56, 56, 3)
     obs, state, r, te, tr, _ = venv.step(state, jnp.zeros((4,), jnp.int32))
     assert obs["image"].dtype == np.uint8
+
+
+def test_pov_render_batch_pixel_exact():
+    """The batched POV renderer (one flat atlas gather for the whole batch,
+    ops/render.py::pov_render_batch) is pixel-identical to the per-env
+    pov_render under vmap — the path the RGB battery row times."""
+    import minigrid_tpu
+    from minigrid_tpu.ops.render import get_atlas, pov_render, pov_render_batch
+
+    env = minigrid_tpu.make("MiniGrid-DoorKey-8x8-v0")
+    params = env.default_params
+    keys = jax.random.split(jax.random.PRNGKey(0), 16)
+    states = jax.vmap(lambda k: env.generate(k, params))(keys)
+    for t in range(5):
+        a = jax.random.randint(jax.random.PRNGKey(t), (16,), 0,
+                               env.num_actions, jnp.int32)
+        states = jax.vmap(
+            lambda s, aa: env.step_state(s, aa, params)[0])(states, a)
+    atlas = get_atlas(8)
+    ref = jax.vmap(lambda s: pov_render(s, params, atlas))(states)
+    got = pov_render_batch(states, params, atlas)
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_rgb_partial_wrapper_batched_matches_per_env():
+    """RGBImgPartialObsWrapper.observation_batch (the VectorEnv hot path)
+    equals vmapping its per-env observation."""
+    import minigrid_tpu
+    from minigrid_tpu.wrappers import RGBImgPartialObsWrapper
+
+    env = RGBImgPartialObsWrapper(
+        minigrid_tpu.make("MiniGrid-Empty-8x8-v0"), tile_size=8)
+    params = env.default_params
+    keys = jax.random.split(jax.random.PRNGKey(2), 8)
+    states = jax.vmap(lambda k: env.generate(k, params))(keys)
+    got = env.observation_batch(states, params)
+    ref = jax.vmap(lambda s: env.observation(s, params))(states)
+    for k in ref:
+        assert np.array_equal(np.asarray(got[k]), np.asarray(ref[k])), k
