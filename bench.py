@@ -79,7 +79,7 @@ def main() -> None:
         obs, state = venv._reset(k_reset)
 
         def body(carry, k):
-            state, r_sum, t_sum = carry
+            state, acc = carry
             action = jax.random.randint(
                 k, (NUM_ENVS,), 0, env.num_actions, dtype=jnp.int32
             )
@@ -89,35 +89,36 @@ def main() -> None:
             # generated every step", and a merely-carried obs is dead to
             # XLA's while-loop simplifier, which then deletes the whole
             # per-step observation program (measured 89M vs the honest 38M
-            # on this chip).  Running scalar sums in the carry: stacking
-            # [T, B] reward/term traces would add 2*T*B*4 bytes of HBM
-            # writes and measure the trace buffer, not the engine.
+            # on this chip).  One running scalar in the carry (reward sum +
+            # obs checksum + episode-end count — term/trunc stay live):
+            # stacking [T, B] traces would add 2*T*B*4 bytes of HBM writes
+            # and measure the trace buffer, not the engine.
             chk = jax.tree_util.tree_reduce(
-                lambda acc, leaf: acc + leaf.astype(jnp.float32).sum(),
+                lambda a, leaf: a + leaf.astype(jnp.float32).sum(),
                 new_obs, jnp.float32(0)
             )
-            return (new_state, r_sum + reward.sum() + chk,
-                    t_sum + term.sum()), None
+            acc = acc + reward.sum() + chk + (
+                (term | trunc).sum().astype(jnp.float32))
+            return (new_state, acc), None
 
         def outer(carry, ks):
-            carry = jax.lax.scan(body, carry, ks)[0]
-            state, r_sum, t_sum = carry
-            return (venv._refill(state, REFILL_PERIOD), r_sum, t_sum), None
+            state, acc = jax.lax.scan(body, carry, ks)[0]
+            return (venv._refill(state, REFILL_PERIOD), acc), None
 
         keys = jax.random.split(key, NUM_STEPS).reshape(
             NUM_STEPS // REFILL_PERIOD, REFILL_PERIOD, -1
         )
-        (state, rewards, terms), _ = jax.lax.scan(
-            outer, (state, jnp.float32(0), jnp.int32(0)), keys
+        (state, acc), _ = jax.lax.scan(
+            outer, (state, jnp.float32(0)), keys
         )
-        # Only two scalars cross to the host.
-        return rewards, terms
+        # Only one scalar crosses to the host.
+        return acc
 
-    def sync(vals) -> float:
+    def sync(val) -> float:
         # HARD sync via host fetch: on the tunneled axon backend
         # jax.block_until_ready returns before queued work completes, which
         # silently times nothing (measured "58 billion steps/s").
-        return float(sum(float(v) for v in vals))
+        return float(val)
 
     # Compile + first run (excluded from timing).
     sync(run(jax.random.PRNGKey(0)))

@@ -105,7 +105,10 @@ class GoToLocal(BabyAILevel):
                                           all_unique=False)
         valid = self.objs_reachable(b, params)
         pick = jax.random.randint(keys[3], (), 0, self.num_dists)
-        instr = V.single_clause(V.K_GOTO, V.desc(objs[pick, 0], objs[pick, 1]))
+        picked = jnp.sum(
+            jnp.where((jnp.arange(objs.shape[0]) == pick)[:, None], objs, 0),
+            axis=0)  # masked reduce, not a vmapped gather (serializes)
+        instr = V.single_clause(V.K_GOTO, V.desc(picked[0], picked[1]))
         return self.finish_level(b, instr, params, valid)
 
 
@@ -131,7 +134,10 @@ class GoTo(BabyAILevel):
                                           all_unique=False)
         valid = self.objs_reachable(b, params)
         pick = jax.random.randint(keys[4], (), 0, self.num_dists)
-        instr = V.single_clause(V.K_GOTO, V.desc(objs[pick, 0], objs[pick, 1]))
+        picked = jnp.sum(
+            jnp.where((jnp.arange(objs.shape[0]) == pick)[:, None], objs, 0),
+            axis=0)  # masked reduce, not a vmapped gather (serializes)
+        instr = V.single_clause(V.K_GOTO, V.desc(picked[0], picked[1]))
         if self.doors_open:
             # open_all_doors (roomgrid_level.py:237-247)
             doors = (b["grid"] & 0xFF) == C.OBJECT_TO_IDX["door"]
@@ -235,7 +241,8 @@ class GoToDoorBabyAI(BabyAILevel):
             colors.append(door[1].astype(jnp.int32))
         b = self.place_agent_in_room(b, keys[5], params, 1, 1)
         pick = jax.random.randint(keys[6], (), 0, 4)
-        color = jnp.stack(colors)[pick]
+        color = jnp.sum(jnp.where(jnp.arange(4) == pick,
+                                  jnp.stack(colors), 0))  # masked reduce
         instr = V.single_clause(V.K_GOTO, V.desc(C.OBJECT_TO_IDX["door"], color))
         return self.finish_level(b, instr, params)
 

@@ -34,7 +34,8 @@ class ActionObjDoor(BabyAILevel):
         b = self.place_agent_in_room(b, keys[6], params, 1, 1)
         cands = jnp.concatenate([objs, jnp.stack(door_cands)], axis=0)  # (9,2)
         pick = jax.random.randint(keys[7], (), 0, 9)
-        obj = cands[pick]
+        obj = jnp.sum(jnp.where((jnp.arange(9) == pick)[:, None], cands, 0),
+                      axis=0)  # masked reduce
         is_door = obj[0] == _DOOR
         coin = jax.random.randint(keys[8], (), 0, 2) == 0
         kind = jnp.where(coin, V.K_GOTO,

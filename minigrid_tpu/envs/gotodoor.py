@@ -55,7 +55,17 @@ class GoToDoorEnv(Env):
         ])  # (4, 2)
 
         # Four distinct colors (gotodoor.py:108-113 rejection == permutation).
-        colors = jnp.asarray(SORTED_COLOR_IDS)[jax.random.permutation(keys[6], 10)[:4]]
+        # All small-array reads below are masked reduces, NOT dynamic
+        # gathers: a vmapped one-element gather lowers to a serialized
+        # kCustom kernel (~86 us each at batch 4096), and the fused
+        # auto-reset runs this generator every step — the gathers were
+        # ~90% of GoToDoor's fused step (measured 1226 us/step vs 78 us
+        # for the transition alone).
+        perm4 = jax.random.permutation(keys[6], 10)[:4]  # int32[4]
+        sorted_ids = jnp.asarray(SORTED_COLOR_IDS)
+        colors = jnp.sum(
+            jnp.where(jnp.arange(10)[None, :] == perm4[:, None],
+                      sorted_ids[None, :], 0), axis=1)  # [4], one-hot reduce
         for i in range(4):
             grid = G.put(
                 grid, door_pos[i, 0], door_pos[i, 1],
@@ -70,10 +80,12 @@ class GoToDoorEnv(Env):
         agent_dir = jax.random.randint(keys[8], (), 0, 4, dtype=jnp.int32)
 
         tgt = jax.random.randint(jax.random.fold_in(keys[8], 1), (), 0, 4)
-        mission = jnp.stack([colors[tgt], jnp.zeros((), jnp.int32),
+        tgt_hot = jnp.arange(4) == tgt
+        mission = jnp.stack([G.take1(colors, tgt), jnp.zeros((), jnp.int32),
                              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)])
+        tgt_pos = jnp.sum(jnp.where(tgt_hot[:, None], door_pos, 0), axis=0)
         return base_state(grid, agent_pos, agent_dir, rng=keys[9],
-                          mission=mission, extra=door_pos[tgt], has_boxes=False)
+                          mission=mission, extra=tgt_pos, has_boxes=False)
 
     def post_step(self, state, action, reward, terminated, outcome, params):
         # toggle forbidden; done next to the target door pays

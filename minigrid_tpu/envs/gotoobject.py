@@ -58,10 +58,16 @@ class GoToObjectEnv(Env):
         agent_dir = jax.random.randint(keys[-3], (), 0, 4, dtype=jnp.int32)
 
         tgt = jax.random.randint(keys[-2], (), 0, self.numObjs)
-        mission = jnp.stack([objs[tgt, 1], objs[tgt, 0],
+        # masked reduces, not dynamic gathers: a vmapped one-element gather
+        # serializes (~86 us at batch 4096) and the fused auto-reset runs
+        # this every step (see envs/gotodoor.py for the measurement)
+        hot = (jnp.arange(self.numObjs) == tgt)
+        tgt_obj = jnp.sum(jnp.where(hot[:, None], objs, 0), axis=0)
+        tgt_pos = jnp.sum(jnp.where(hot[:, None], positions, 0), axis=0)
+        mission = jnp.stack([tgt_obj[1], tgt_obj[0],
                              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)])
         return base_state(grid, agent_pos, agent_dir, rng=keys[-1],
-                          mission=mission, extra=positions[tgt])
+                          mission=mission, extra=tgt_pos)
 
     def post_step(self, state, action, reward, terminated, outcome, params):
         # done within the 8-neighborhood pays; toggle terminates

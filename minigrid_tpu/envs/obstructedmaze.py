@@ -164,7 +164,9 @@ class ObstructedMaze_Full(ObstructedMazeEnv):
         corners = [(2, 0), (2, 2), (0, 2), (0, 0)][: self.num_quarters]
         pick = jax.random.randint(keys[-3], (), 0, len(corners))
         corners_arr = jnp.asarray(corners, jnp.int32)
-        ball_room = corners_arr[pick]
+        ball_room = jnp.sum(jnp.where(
+            (jnp.arange(len(corners)) == pick)[:, None], corners_arr, 0),
+            axis=0)  # masked reduce, not a vmapped one-element gather
         target = jnp.asarray([_BALL, _BLUE], jnp.int32)
         b, _, _ = self.add_object(b, keys[-2], params, ball_room[0],
                                   ball_room[1], kind="ball", color=_BLUE)

@@ -85,11 +85,11 @@ def measure(env_id: str, cand: Candidate, num_envs: int, num_steps: int,
         strict_refill=cand.strict_refill,
     )
     return timed_rollout(venv, num_steps, cand.refill_period, seed=seed,
-                         unroll=cand.unroll)
+                         unroll=cand.unroll, with_stats=True)
 
 
 def autotune(env_id: str, num_envs: int = 4096, num_steps: int = 1024,
-             verbose: bool = True) -> dict:
+             verbose: bool = True, min_fresh: float = 0.9) -> dict:
     """Sweep all candidates; return the best config as a dict of
     VectorEnv/rollout kwargs plus the measured table."""
     import minigrid_tpu
@@ -99,29 +99,38 @@ def autotune(env_id: str, num_envs: int = 4096, num_steps: int = 1024,
     rows = []
     for cand in candidates(num_envs, expensive):
         try:
-            sps, compile_s = measure(env_id, cand, num_envs, num_steps)
+            sps, compile_s, stats = measure(env_id, cand, num_envs, num_steps)
         except Exception as e:  # noqa: BLE001 — report and keep sweeping
             if verbose:
                 print(f"  {cand.label():28s} failed: {type(e).__name__}: {e}",
                       flush=True)
             continue
-        rows.append((cand, sps, compile_s))
+        fresh = stats["fresh_frac"]
+        rows.append((cand, sps, compile_s, fresh))
         if verbose:
+            fs = "  n/a " if fresh is None else f"{fresh:6.1%}"
             print(f"  {cand.label():28s} {sps / 1e6:9.2f}M steps/s"
-                  f"  (compile {compile_s:5.1f}s)", flush=True)
+                  f"  fresh {fs}  (compile {compile_s:5.1f}s)", flush=True)
     if not rows:
         raise RuntimeError(f"no candidate succeeded for {env_id}")
-    best, sps, _ = max(rows, key=lambda r: r[1])
+    # Headline selection honors the freshness floor (PERF.md round-5
+    # policy): a pooled config that mostly replays stale levels is a
+    # different metric, not a faster one.  Fall back to the raw max only
+    # when no candidate clears the floor (and say so via best_fresh_frac).
+    honest = [r for r in rows if r[3] is None or r[3] >= min_fresh]
+    best, sps, _, best_fresh = max(honest or rows, key=lambda r: r[1])
     result = {
         "env_id": env_id,
         "num_envs": num_envs,
         "steps_per_sec": sps,
+        "fresh_frac": best_fresh,
+        "min_fresh": min_fresh,
         "reset_strategy": best.reset_strategy,
         "pool_refill": best.pool_refill,
         "refill_period": best.refill_period,
         "strict_refill": best.strict_refill,
         "unroll": best.unroll,
-        "table": [(c.label(), s) for c, s, _ in rows],
+        "table": [(c.label(), s, f) for c, s, _, f in rows],
     }
     if verbose:
         print(f"best: {best.label()} at {sps / 1e6:.2f}M steps/s")

@@ -24,20 +24,26 @@ import sys
 
 # (module, SPEC) — one row per reference env module (SURVEY.md §2.2),
 # plus the BabyAI spread from VERDICT r4 #5.  num_envs/steps default to
-# 4096 in battery.run_spec.
+# 4096 in battery.run_spec.  Configs follow the round-5 freshness policy
+# (PERF.md): headline rows serve >=90% fresh levels where achievable —
+# ultra-short-episode families (random-policy episodes ~8-20 steps) run
+# fused (always fresh) after the serialized-gather generator fixes.
 P64 = "strategy=pooled,refill=64,period=8"
 SWEEP: list[tuple[str, str]] = [
     ("empty", f"MiniGrid-Empty-8x8-v0:{P64}"),
     ("doorkey", f"MiniGrid-DoorKey-8x8-v0:{P64}"),
-    ("crossing", f"MiniGrid-LavaCrossingS9N2-v0:{P64}"),
-    ("dynamicobstacles", f"MiniGrid-Dynamic-Obstacles-8x8-v0:{P64}"),
+    ("crossing", "MiniGrid-LavaCrossingS9N2-v0:strategy=pooled,refill=128,"
+              "period=8"),
+    ("dynamicobstacles", "MiniGrid-Dynamic-Obstacles-8x8-v0:strategy=pooled,"
+                      "refill=1024,period=8"),
     ("fourrooms", f"MiniGrid-FourRooms-v0:{P64}"),
-    ("multiroom", "MiniGrid-MultiRoom-N6-v0:strategy=pooled,refill=8,"
+    ("multiroom", "MiniGrid-MultiRoom-N6-v0:strategy=pooled,refill=32,"
                   "period=8,unroll=4"),
-    ("fetch", f"MiniGrid-Fetch-8x8-N3-v0:{P64}"),
-    ("gotodoor", f"MiniGrid-GoToDoor-8x8-v0:{P64}"),
-    ("gotoobject", f"MiniGrid-GoToObject-8x8-N2-v0:{P64}"),
-    ("putnear", f"MiniGrid-PutNear-8x8-N3-v0:{P64}"),
+    ("fetch", "MiniGrid-Fetch-8x8-N3-v0:strategy=pooled,refill=128,period=8"),
+    ("gotodoor", "MiniGrid-GoToDoor-8x8-v0:strategy=fused"),
+    ("gotoobject", "MiniGrid-GoToObject-8x8-N2-v0:strategy=fused"),
+    ("putnear", "MiniGrid-PutNear-8x8-N3-v0:strategy=pooled,refill=256,"
+               "period=8"),
     ("redbluedoors", f"MiniGrid-RedBlueDoors-8x8-v0:{P64}"),
     ("memory", f"MiniGrid-MemoryS13-v0:{P64}"),
     ("lockedroom", f"MiniGrid-LockedRoom-v0:{P64}"),
@@ -48,14 +54,15 @@ SWEEP: list[tuple[str, str]] = [
     ("blockedunlockpickup", f"MiniGrid-BlockedUnlockPickup-v0:{P64}"),
     ("obstructedmaze", "MiniGrid-ObstructedMaze-Full-v0:strategy=pooled,"
                        "refill=16,period=16"),
-    ("lavagap", f"MiniGrid-LavaGapS7-v0:{P64}"),
-    ("distshift", f"MiniGrid-DistShift1-v0:{P64}"),
+    ("lavagap", "MiniGrid-LavaGapS7-v0:strategy=pooled,refill=128,period=8"),
+    ("distshift", "MiniGrid-DistShift1-v0:strategy=fused"),
     ("playground", f"MiniGrid-Playground-v0:{P64}"),
-    ("negated_goals", f"MiniGrid-Negated-Simple-v0:{P64}"),
-    ("contrastive", f"ContrastiveDataset-v0:{P64}"),
+    ("negated_goals", "MiniGrid-Negated-Simple-v0:strategy=pooled,"
+                    "refill=256,period=8"),
+    ("contrastive", "ContrastiveDataset-v0:strategy=fused"),
     ("contrastive_traj", f"ContrastiveTrajectoryDataset-v0:{P64}"),
-    ("directions_dataset", f"DirectionsDataset-v0:{P64}"),
-    ("blocks_dataset", f"BlocksDataset-v0:{P64}"),
+    ("directions_dataset", "DirectionsDataset-v0:strategy=fused"),
+    ("blocks_dataset", "BlocksDataset-v0:strategy=fused"),
     # BabyAI spread (heaviest generators explicitly included)
     ("babyai_goto", "BabyAI-GoToRedBall-v0:strategy=pooled,refill=256,"
                     "period=16"),

@@ -256,3 +256,7 @@ def test_autotune_sweeps_and_picks_best():
     assert res["reset_strategy"] in ("fused", "conditional", "pooled")
     assert res["steps_per_sec"] > 0
     assert len(res["table"]) >= 3
+    # headline selection honors the freshness floor (PERF round-5 policy)
+    assert res["fresh_frac"] is None or res["fresh_frac"] >= res["min_fresh"]
+    for label, sps, fresh in res["table"]:
+        assert sps > 0
