@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from minigrid_tpu.babyai import verifier as V
 from minigrid_tpu.babyai.level import BabyAILevel
 from minigrid_tpu.core import constants as C
+from minigrid_tpu.core import grid_ops as G
 from minigrid_tpu.core.state import EnvParams
 
 _BALL = C.OBJECT_TO_IDX["ball"]
@@ -270,5 +271,6 @@ class GoToObjDoor(BabyAILevel):
         valid = self.objs_reachable(b, params)
         cands = jnp.concatenate([objs, jnp.stack(door_descs)], axis=0)  # (12,2)
         pick = jax.random.randint(keys[7], (), 0, 12)
-        instr = V.single_clause(V.K_GOTO, V.desc(cands[pick, 0], cands[pick, 1]))
+        instr = V.single_clause(V.K_GOTO, V.desc(G.take1(cands[:, 0], pick),
+                                  G.take1(cands[:, 1], pick)))
         return self.finish_level(b, instr, params, valid)

@@ -78,7 +78,10 @@ class LevelGen(BabyAILevel):
             k1, k2, k3, k4 = jax.random.split(k, 4)
             # color: uniform over [None, *colors] (levelgen.py:127)
             ci = jax.random.randint(k1, (), 0, 11)
-            color = jnp.where(ci == 0, 0, jnp.asarray(SORTED_COLOR_IDS)[ci - 1])
+            color = jnp.where(
+                ci == 0, 0,
+                jnp.sum(jnp.where(jnp.arange(10) == ci - 1,
+                                  jnp.asarray(SORTED_COLOR_IDS), 0)))
             # type set by kind
             u = jax.random.randint(k2, (), 0, 12)
             door_ok = (kind == V.K_OPEN)

@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from minigrid_tpu.babyai import verifier as V
 from minigrid_tpu.babyai.level import BabyAILevel
 from minigrid_tpu.core import constants as C
+from minigrid_tpu.core import grid_ops as G
 from minigrid_tpu.core.sampling import SORTED_COLOR_IDS
 
 _DOOR = C.OBJECT_TO_IDX["door"]
@@ -67,7 +68,8 @@ class OpenDoor(BabyAILevel):
     def gen_level(self, key, params):
         keys = jax.random.split(key, 8)
         b = self.init_rooms(keys[0], params)
-        colors = jnp.asarray(SORTED_COLOR_IDS)[jax.random.permutation(keys[1], 10)[:4]]
+        colors = G.take_vec(jnp.asarray(SORTED_COLOR_IDS),
+                           jax.random.permutation(keys[1], 10)[:4])
         for i in range(4):
             b, _, _ = self.add_door(b, keys[2 + i], 1, 1, door_idx=i,
                                     color=colors[i], locked=False)
@@ -118,7 +120,8 @@ class OpenTwoDoors(BabyAILevel):
     def gen_level(self, key, params):
         keys = jax.random.split(key, 5)
         b = self.init_rooms(keys[0], params)
-        colors = jnp.asarray(SORTED_COLOR_IDS)[jax.random.permutation(keys[1], 10)[:2]]
+        colors = G.take_vec(jnp.asarray(SORTED_COLOR_IDS),
+                           jax.random.permutation(keys[1], 10)[:2])
         c1 = (jnp.asarray(C.COLOR_TO_IDX[self.first_color])
               if self.first_color else colors[0])
         c2 = (jnp.asarray(C.COLOR_TO_IDX[self.second_color])
@@ -152,7 +155,8 @@ class OpenDoorsOrder(BabyAILevel):
         n = self.num_doors
         keys = jax.random.split(key, n + 5)
         b = self.init_rooms(keys[0], params)
-        colors = jnp.asarray(SORTED_COLOR_IDS)[jax.random.permutation(keys[1], 10)[:n]]
+        colors = G.take_vec(jnp.asarray(SORTED_COLOR_IDS),
+                           jax.random.permutation(keys[1], 10)[:n])
         for i in range(n):
             b, _, _ = self.add_door(b, keys[2 + i], 1, 1, color=colors[i],
                                     locked=False)

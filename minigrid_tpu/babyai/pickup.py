@@ -24,7 +24,8 @@ class Pickup(BabyAILevel):
                                           num_distractors=18, all_unique=False)
         valid = self.objs_reachable(b, params)
         pick = jax.random.randint(keys[4], (), 0, 18)
-        instr = V.single_clause(V.K_PICKUP, V.desc(objs[pick, 0], objs[pick, 1]))
+        instr = V.single_clause(V.K_PICKUP, V.desc(G.take1(objs[:, 0], pick),
+                                  G.take1(objs[:, 1], pick)))
         return self.finish_level(b, instr, params, valid)
 
 
@@ -43,7 +44,8 @@ class UnblockPickup(BabyAILevel):
                                           num_distractors=20, all_unique=False)
         valid = ~self.objs_reachable(b, params)  # pickup.py:39-40
         pick = jax.random.randint(keys[4], (), 0, 20)
-        instr = V.single_clause(V.K_PICKUP, V.desc(objs[pick, 0], objs[pick, 1]))
+        instr = V.single_clause(V.K_PICKUP, V.desc(G.take1(objs[:, 0], pick),
+                                  G.take1(objs[:, 1], pick)))
         return self.finish_level(b, instr, params, valid)
 
 

@@ -185,7 +185,8 @@ class UnlockToUnlock(BabyAILevel):
     def gen_level(self, key, params):
         keys = jax.random.split(key, 8)
         b = self.init_rooms(keys[0], params)
-        colors = jnp.asarray(SORTED_COLOR_IDS)[jax.random.permutation(keys[1], 10)[:2]]
+        colors = G.take_vec(jnp.asarray(SORTED_COLOR_IDS),
+                           jax.random.permutation(keys[1], 10)[:2])
         b, _, _ = self.add_door(b, keys[2], 0, 0, 0, color=colors[0],
                                 locked=True)
         b, _, _ = self.add_object(b, keys[3], params, 2, 0, "key", colors[0])

@@ -111,9 +111,27 @@ def put(grid: jnp.ndarray, x, y, triple) -> jnp.ndarray:
 
 def take1(vec: jnp.ndarray, i) -> jnp.ndarray:
     """One dynamic element of a small 1-D array as a masked reduce — a
-    vmapped 1-element gather lowers to a serialized kCustom kernel."""
+    vmapped 1-element gather lowers to a serialized kCustom kernel
+    (~86 us per launch at batch 4096 on v5e; in a fused auto-reset path
+    one stray gather measured as ~90% of GoToDoor's step, PERF.md r5)."""
     n = vec.shape[0]
     return jnp.sum(jnp.where(jnp.arange(n) == i, vec, 0))
+
+
+def take_row(mat: jnp.ndarray, i) -> jnp.ndarray:
+    """Row ``mat[i]`` of a small [n, ...] array as a masked reduce (see
+    :func:`take1` for why this is not a dynamic gather)."""
+    n = mat.shape[0]
+    hot = (jnp.arange(n) == i).reshape((n,) + (1,) * (mat.ndim - 1))
+    return jnp.sum(jnp.where(hot, mat, 0), axis=0).astype(mat.dtype)
+
+
+def take_vec(vec: jnp.ndarray, idxs: jnp.ndarray) -> jnp.ndarray:
+    """``vec[idxs]`` for a small 1-D table and a small index vector, as a
+    one-hot masked reduce (see :func:`take1`)."""
+    n = vec.shape[0]
+    eq = jnp.arange(n)[None, :] == idxs[..., None]
+    return jnp.sum(jnp.where(eq, vec[None, :], 0), axis=-1).astype(vec.dtype)
 
 
 def read_word(grid: jnp.ndarray, x, y) -> jnp.ndarray:

@@ -398,7 +398,8 @@ class RoomGridEnv(Env):
             ex_rank = jnp.argmax(SORTED_COLOR_IDS == ex)
             r = jax.random.randint(k_col, (n_walls,), 0,
                                    jnp.where(active, 9, 10))
-            colors = jnp.asarray(SORTED_COLOR_IDS)[jnp.where(active, r + (r >= ex_rank), r)]
+            colors = G.take_vec(jnp.asarray(SORTED_COLOR_IDS),
+                                jnp.where(active, r + (r >= ex_rank), r))
 
         # Stamp every new door in one fused one-hot combine (a per-wall
         # put_if loop chains n_walls dependent full-grid selects).  Distinct
@@ -465,7 +466,7 @@ class RoomGridEnv(Env):
             else:
                 combo = jax.random.randint(k_tc, (), 0, 30)
             kind_local = combo // 10
-            color = jnp.asarray(SORTED_COLOR_IDS)[combo % 10]
+            color = G.take1(jnp.asarray(SORTED_COLOR_IDS), combo % 10)
             write_color = color if color_override is None else jnp.asarray(
                 color_override, jnp.int32)
             ri = jax.random.randint(k_i, (), 0, self.num_cols) if i is None else i
@@ -473,7 +474,8 @@ class RoomGridEnv(Env):
             b, triple, pos = self.add_object(b, k_pos, params, ri, rj,
                                              kind=kind_local, color=write_color,
                                              enabled=enabled)
-            added = jnp.stack([jnp.asarray(_KIND_IDS)[kind_local], color])
+            added = jnp.stack([G.take1(jnp.asarray(_KIND_IDS), kind_local),
+                               color])
             return (b, key), (added, pos)
 
         (b, _), (added, positions) = jax.lax.scan(
@@ -499,7 +501,7 @@ class RoomGridEnv(Env):
             combos = jax.random.randint(k_combo, (num,), 0, 30)
             combo_ok = jnp.ones((num,), bool)
         kind_local = combos // 10
-        color = jnp.asarray(SORTED_COLOR_IDS)[combos % 10]
+        color = G.take_vec(jnp.asarray(SORTED_COLOR_IDS), combos % 10)
         write_color = color if color_override is None else jnp.full(
             (num,), jnp.asarray(color_override, jnp.int32))
 
@@ -515,7 +517,7 @@ class RoomGridEnv(Env):
         pos = jnp.stack([idx // h, idx % h], axis=1).astype(jnp.int32)
 
         grid = b["grid"]
-        kinds_t = jnp.asarray(_KIND_IDS)[kind_local]
+        kinds_t = G.take_vec(jnp.asarray(_KIND_IDS), kind_local)
         for n in range(num):
             triple = jnp.stack([kinds_t[n], write_color[n],
                                 jnp.zeros((), jnp.int32)]).astype(jnp.uint8)

@@ -27,16 +27,21 @@ NUM_COLOR_NAMES = len(C.COLOR_NAMES)  # 10
 
 
 def rand_color(key: jnp.ndarray) -> jnp.ndarray:
-    """Uniform color id (the _rand_color analogue)."""
+    """Uniform color id (the _rand_color analogue).  Masked reduce, not a
+    dynamic gather — a vmapped one-element gather serializes
+    (grid_ops.take1)."""
     i = jax.random.randint(key, (), 0, NUM_COLOR_NAMES)
-    return jnp.asarray(SORTED_COLOR_IDS)[i]
+    return jnp.sum(jnp.where(jnp.arange(NUM_COLOR_NAMES) == i,
+                             jnp.asarray(SORTED_COLOR_IDS), 0))
 
 
 def rand_type_color(key: jnp.ndarray, type_ids: jnp.ndarray) -> jnp.ndarray:
     """One uniform (type, color) draw (duplicates allowed, fetch.py:120-122)."""
+    from minigrid_tpu.core.grid_ops import take1
+
     k1, k2 = jax.random.split(key)
     type_ids = jnp.asarray(type_ids)
-    t = type_ids[jax.random.randint(k1, (), 0, type_ids.shape[0])]
+    t = take1(type_ids, jax.random.randint(k1, (), 0, type_ids.shape[0]))
     return jnp.stack([t, rand_color(k2)]).astype(jnp.int32)
 
 
@@ -49,7 +54,9 @@ def distinct_type_colors(
     num_types = type_ids.shape[0]
     total = num_types * NUM_COLOR_NAMES
     assert n <= total
+    from minigrid_tpu.core.grid_ops import take_vec
+
     perm = jax.random.permutation(key, total)[:n]
-    t = type_ids[perm // NUM_COLOR_NAMES]
-    c = jnp.asarray(SORTED_COLOR_IDS)[perm % NUM_COLOR_NAMES]
+    t = take_vec(type_ids, perm // NUM_COLOR_NAMES)
+    c = take_vec(jnp.asarray(SORTED_COLOR_IDS), perm % NUM_COLOR_NAMES)
     return jnp.stack([t, c], axis=1).astype(jnp.int32)  # (n, 2)

@@ -90,9 +90,14 @@ class MultiRoomEnv(Env):
             first = c["count"] == 0
 
             # --- 8 exit-door draws from the previous room
-            #     (multiroom.py:247-268), vectorized over the try axis ------
-            prev_top = c["tops"][jnp.maximum(c["count"] - 1, 0)]
-            prev_size = c["sizes"][jnp.maximum(c["count"] - 1, 0)]
+            #     (multiroom.py:247-268), vectorized over the try axis.
+            #     Masked reduce, not a dynamic row gather: a vmapped
+            #     one-row gather serializes (~86 us/launch at B=4096) and
+            #     this one sits inside the chain while_loop.
+            prev_i = jnp.maximum(c["count"] - 1, 0)
+            prev_hot = (jnp.arange(self.maxNumRooms) == prev_i)[:, None]
+            prev_top = jnp.sum(jnp.where(prev_hot, c["tops"], 0), axis=0)
+            prev_size = jnp.sum(jnp.where(prev_hot, c["sizes"], 0), axis=0)
             i3 = jax.random.randint(k_exit, (T,), 0, 3)
             exit_wall = i3 + (i3 >= c["entry_wall"])
             off_x = 1 + jax.random.randint(k_epos, (T,), 0, prev_size[0] - 2)
@@ -223,8 +228,10 @@ class MultiRoomEnv(Env):
             rank = jnp.where(prev_color_rank < 0, i10,
                              i9 + (i9 >= prev_color_rank))
             active = r < count
+            color = jnp.sum(jnp.where(jnp.arange(10) == rank,
+                                      jnp.asarray(SORTED_COLOR_IDS), 0))
             door = jnp.stack([jnp.asarray(_DOOR, jnp.int32),
-                              jnp.asarray(SORTED_COLOR_IDS)[rank],
+                              color,
                               jnp.asarray(C.STATE_TO_IDX["closed"], jnp.int32)
                               ]).astype(jnp.uint8)
             pos = entries[r]
@@ -236,11 +243,13 @@ class MultiRoomEnv(Env):
                                       top=(tops[0, 0], tops[0, 1]),
                                       size=(sizes[0, 0], sizes[0, 1]))
         agent_dir = jax.random.randint(keys[-3], (), 0, 4, dtype=jnp.int32)
-        last = count - 1
+        last_hot = (jnp.arange(n) == count - 1)[:, None]
+        last_top = jnp.sum(jnp.where(last_hot, tops, 0), axis=0)
+        last_size = jnp.sum(jnp.where(last_hot, sizes, 0), axis=0)
         grid, _, _ = G.place_obj(keys[-2], grid, C.GOAL_TRIPLE,
                                  agent_pos=agent_pos,
-                                 top=(tops[last, 0], tops[last, 1]),
-                                 size=(sizes[last, 0], sizes[last, 1]))
+                                 top=(last_top[0], last_top[1]),
+                                 size=(last_size[0], last_size[1]))
         return base_state(grid, agent_pos, agent_dir, rng=keys[-1], has_boxes=False)
 
     def mission_text(self, mission) -> str:

@@ -73,7 +73,8 @@ class ObstructedMazeEnv(RoomGridEnv):
         b["box_contains"] = empty_grid(params.width, params.height)
         # door color palette = random permutation of all colors
         # (obstructedmaze.py:109 — _rand_subset of the full color list)
-        b["door_colors"] = jnp.asarray(SORTED_COLOR_IDS)[jax.random.permutation(k_perm, 10)]
+        b["door_colors"] = G.take_vec(jnp.asarray(SORTED_COLOR_IDS),
+                                      jax.random.permutation(k_perm, 10))
         return b
 
     def finish(self, b, rng, target) -> EnvState:
