@@ -7,8 +7,10 @@ markdown pages emitted by :mod:`gen_docs` into a browsable static site —
 an index grouped by environment section, one HTML page per family with
 the PNG frame / rollout GIF embedded, and a shared stylesheet.
 
-The markdown dialect handled is exactly what gen_docs emits: ATX
-headings, pipe tables, images, inline code, and paragraphs.
+The markdown dialect handled covers what gen_docs and the hand-written
+guide pages (docs/index.md, docs/content/, docs/api/) emit: ATX headings,
+pipe tables, fenced code blocks, images, inline code, yaml front matter,
+and paragraphs.
 
 Usage:
     python -m minigrid_tpu.tools.gen_site --src docs/environments \
@@ -35,6 +37,8 @@ table { border-collapse: collapse; margin: 1rem 0; }
 td, th { border: 1px solid #d8d8e8; padding: .3rem .7rem; text-align: left; }
 th { background: #f6f6fb; }
 img { max-width: 100%; image-rendering: pixelated; }
+pre { background: #f6f6fb; border: 1px solid #e4e4ef; border-radius: 6px;
+      padding: .7rem .9rem; overflow-x: auto; font-size: .88em; }
 nav { font-size: .9rem; margin-bottom: 1.5rem; }
 .cols { columns: 3 14rem; }
 .cols ul { margin: 0 0 1rem; padding-left: 1.2rem; }
@@ -61,10 +65,27 @@ def md_to_html(md: str) -> str:
     lines = md.split("\n")
     out: list[str] = []
     i = 0
+    # yaml front matter (the guide pages carry a sphinx-style header)
+    if lines and lines[0].strip() == "---":
+        j = 1
+        while j < len(lines) and lines[j].strip() != "---":
+            j += 1
+        i = j + 1
     while i < len(lines):
         line = lines[i]
         if not line.strip():
             i += 1
+            continue
+        if line.lstrip().startswith("```"):
+            i += 1
+            code = []
+            while i < len(lines) and not lines[i].lstrip().startswith("```"):
+                code.append(lines[i])
+                i += 1
+            i += 1  # closing fence
+            out.append("<pre><code>"
+                       + html.escape("\n".join(code), quote=False)
+                       + "</code></pre>")
             continue
         m = re.match(r"^(#{1,4})\s+(.*)$", line)
         if m:
@@ -167,7 +188,36 @@ def build_site(src: str = "docs/environments", out: str = "docs/site") -> int:
         sections.setdefault(_section_of(by_cls.get(name, [])), []).append(name)
         count += 1
 
-    parts = ["<h1>Environments</h1>"]
+    # guide pages (docs/index.md + content/ + api/) — the reference's
+    # sphinx content/api layer rendered into the same site
+    docs_root = os.path.dirname(os.path.abspath(src))
+    guides: list[tuple[str, str]] = []
+    guide_srcs = [("index.md", "guide_overview", "Overview")]
+    for sub in ("content", "api"):
+        d = os.path.join(docs_root, sub)
+        if os.path.isdir(d):
+            for fname in sorted(os.listdir(d)):
+                if fname.endswith(".md"):
+                    title = fname[:-3].replace("_", " ").title()
+                    guide_srcs.append((os.path.join(sub, fname),
+                                       f"guide_{sub}_{fname[:-3]}", title))
+    for rel, out_name, title in guide_srcs:
+        path = os.path.join(docs_root, rel)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            body = md_to_html(f.read())
+        with open(os.path.join(out, f"{out_name}.html"), "w") as f:
+            f.write(_page(title, body))
+        guides.append((out_name, title))
+        count += 1
+
+    parts = []
+    if guides:
+        parts.append("<h1>Guides</h1><div class=\"cols\"><ul>")
+        parts += [f'<li><a href="{n}.html">{t}</a></li>' for n, t in guides]
+        parts.append("</ul></div>")
+    parts.append("<h1>Environments</h1>")
     for sec in ("MiniGrid", "BabyAI", "Datasets"):
         names = sections.get(sec) or []
         if not names:
