@@ -5,6 +5,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from minigrid_tpu.core import grid_ops as G
 from minigrid_tpu.babyai import verifier as V
 from minigrid_tpu.babyai.level import BabyAILevel
 from minigrid_tpu.babyai.levelgen import LevelGen

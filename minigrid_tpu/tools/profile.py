@@ -23,7 +23,12 @@ import time
 
 
 def profile_rollout(env_id: str, num_envs: int, num_steps: int,
-                    trace_dir: str | None = None) -> dict:
+                    trace_dir: str | None = None,
+                    reset_strategy: str | None = None,
+                    pool_refill: int | None = None,
+                    refill_period: int = 1) -> dict:
+    """Profile the SAME program shape the battery times: pass the battery
+    row's strategy/refill/period to see where its step actually goes."""
     import jax
     import jax.numpy as jnp
 
@@ -31,27 +36,42 @@ def profile_rollout(env_id: str, num_envs: int, num_steps: int,
     from minigrid_tpu.parallel.vector import VectorEnv
 
     env = minigrid_tpu.make(env_id)
-    venv = VectorEnv(env, num_envs, env.default_params)
+    venv = VectorEnv(env, num_envs, env.default_params,
+                     reset_strategy=reset_strategy, pool_refill=pool_refill)
 
     @jax.jit
     def run(key):
         key, kr = jax.random.split(key)
         obs, state = venv._reset(kr)
 
-        def body(state, k):
-            a = jax.random.randint(k, (num_envs,), 0, env.num_actions,
-                                   dtype=jnp.int32)
-            no, ns, r, te, tr, _ = venv._step(state, a)
-            # Checksum the obs so the profile includes the observation
-            # program — a merely-carried obs is dead to XLA's while-loop
-            # simplifier and would vanish from the trace (bench.py gate).
-            chk = jax.tree_util.tree_reduce(
-                lambda acc, leaf: acc + leaf.astype(jnp.float32).sum(),
-                no, jnp.float32(0))
-            return ns, (r.sum() + chk, (te | tr).sum())
+        def make_body(step_fn):
+            def body(state, k):
+                a = jax.random.randint(k, (num_envs,), 0, env.num_actions,
+                                       dtype=jnp.int32)
+                no, ns, r, te, tr, _ = step_fn(state, a)
+                # Checksum the obs so the profile includes the observation
+                # program — a merely-carried obs is dead to XLA's while-loop
+                # simplifier and would vanish from the trace (bench.py gate).
+                chk = jax.tree_util.tree_reduce(
+                    lambda acc, leaf: acc + leaf.astype(jnp.float32).sum(),
+                    no, jnp.float32(0))
+                return ns, (r.sum() + chk, (te | tr).sum())
+            return body
 
-        keys = jax.random.split(key, num_steps)
-        state, (rs, ds) = jax.lax.scan(body, state, keys)
+        if refill_period > 1:
+            K = refill_period
+
+            def outer(state, ks):
+                state, ys = jax.lax.scan(make_body(venv._step_nofill),
+                                         state, ks)
+                return venv._refill(state, K), ys
+
+            keys = jax.random.split(key, num_steps).reshape(
+                num_steps // K, K, -1)
+            state, (rs, ds) = jax.lax.scan(outer, state, keys)
+        else:
+            keys = jax.random.split(key, num_steps)
+            state, (rs, ds) = jax.lax.scan(make_body(venv._step), state, keys)
         return rs.sum(), ds.sum()
 
     out = run(jax.random.PRNGKey(0))
@@ -101,9 +121,14 @@ def main() -> None:
     p.add_argument("--num-envs", type=int, default=4096)
     p.add_argument("--num-steps", type=int, default=128)
     p.add_argument("--trace-dir", default=None)
+    p.add_argument("--strategy", default=None)
+    p.add_argument("--refill", type=int, default=None)
+    p.add_argument("--period", type=int, default=1)
     args = p.parse_args()
     res = profile_rollout(args.env, args.num_envs, args.num_steps,
-                          args.trace_dir)
+                          args.trace_dir, reset_strategy=args.strategy,
+                          pool_refill=args.refill,
+                          refill_period=args.period)
     print(f"{res['env']}: {res['steps_per_sec']:,.0f} env-steps/s "
           f"({res['num_envs']} envs x {res['num_steps']} steps, "
           f"{res['wall_s']*1e3:.1f} ms)")
